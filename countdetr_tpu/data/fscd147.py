@@ -1,0 +1,199 @@
+"""FSCD-147 dataset readers (reference datasets/fscd_147.py:11-254 and
+2nd-stage data/fsc147.py:12-351), returning plain numpy per-image samples.
+
+Expected data layout (same as the reference):
+  {data_path}/annotation_FSC147_384.json    per-image exemplar boxes + points
+  {data_path}/Train_Test_Val_FSC_147.json   split lists of image file names
+  {data_path}/images_384_VarV2/*.jpg
+  {data_path}/instances_{val,test}.json     COCO GT boxes for eval
+  {data_path}/annotations/pseudo_bbox_{split}.json   stage-1 output
+
+Per-sample semantics mirror the reference exactly:
+  * image resized to (scale_factor * floor(dim / scale_factor)) per side,
+    bilinear, then ImageNet-normalized (datasets/fscd_147.py:58-61, 24-26);
+  * points/boxes normalized by the ORIGINAL image size;
+  * exemplar centers/whs from box_examples_coordinates corners 0 and 2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from countdetr_tpu.data.coco_io import CocoJson
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def load_image(path: str, scale_factor: int = 32):
+    """Returns (normalized HWC float32 image, (orig_w, orig_h))."""
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    w, h = img.size
+    rw = scale_factor * int(w / scale_factor)
+    rh = scale_factor * int(h / scale_factor)
+    img = img.resize((rw, rh), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    return arr, (w, h)
+
+
+def _exemplar_centers_whs(box_coords) -> np.ndarray:
+    """box_examples_coordinates: list of 4-corner boxes; corners 0 and 2 are
+    (x1,y1) and (x2,y2) (datasets/fscd_147.py:44-50)."""
+    rects = []
+    for bc in box_coords:
+        x1, y1 = bc[0][0], bc[0][1]
+        x2, y2 = bc[2][0], bc[2][1]
+        rects.append([x1, y1, x2, y2])
+    return np.array(rects, dtype=np.float32)
+
+
+class FSCD147Base:
+    def __init__(self, data_path: str, split: str, scale_factor: int = 32):
+        self.data_path = data_path
+        self.split = split
+        self.scale_factor = scale_factor
+        with open(os.path.join(data_path, "annotation_FSC147_384.json")) as f:
+            self.annotations = json.load(f)
+        with open(os.path.join(data_path, "Train_Test_Val_FSC_147.json")) as f:
+            self.data_split = json.load(f)[split]
+        self.im_dir = os.path.join(data_path, "images_384_VarV2")
+
+    def __len__(self):
+        return len(self.data_split)
+
+    def _image(self, name):
+        return load_image(os.path.join(self.im_dir, name), self.scale_factor)
+
+
+class FSCD147Exemplars(FSCD147Base):
+    """Stage-1 training: 3 exemplar centers+whs as both queries and targets
+    (reference FSCD147_Exemplars, datasets/fscd_147.py:11-77)."""
+
+    def __getitem__(self, idx) -> Dict:
+        name = self.data_split[idx]
+        anno = self.annotations[name]
+        rects = _exemplar_centers_whs(anno["box_examples_coordinates"])
+        image, (w, h) = self._image(name)
+        res = np.array([w, h], dtype=np.float32)
+        centers = (rects[:, :2] + rects[:, 2:]) / 2.0 / res
+        whs = (rects[:, 2:] - rects[:, :2]) / res
+        return {
+            "image": image,
+            "image_name": name,
+            "points": centers.astype(np.float32),
+            "whs": whs.astype(np.float32),
+            "orig_size": (w, h),
+        }
+
+
+class FSCD147Points(FSCD147Base):
+    """Pseudo-label generation: ALL dot annotations as query points
+    (reference FSCD147_Points, datasets/fscd_147.py:80-147)."""
+
+    def __getitem__(self, idx) -> Dict:
+        name = self.data_split[idx]
+        anno = self.annotations[name]
+        image, (w, h) = self._image(name)
+        res = np.array([w, h], dtype=np.float32)
+        pts = np.array(anno["points"], dtype=np.float32) / res
+        return {
+            "image": image,
+            "image_name": name,
+            "image_id": int(name[:-4]),
+            "points": pts,
+            "orig_size": (w, h),
+        }
+
+
+class FSCD147Eval(FSCD147Base):
+    """Val/test with COCO GT boxes + exemplar rects (reference FSCD147_Test /
+    FSC147_Dataset_Val/Test, data/fsc147.py:105-351)."""
+
+    def __init__(self, data_path, split, scale_factor: int = 32):
+        super().__init__(data_path, split, scale_factor)
+        self.gt = CocoJson(
+            os.path.join(data_path, f"instances_{split}.json"), "xywh"
+        )
+        self.name2id = self.gt.name_to_id()
+
+    def __getitem__(self, idx) -> Dict:
+        name = self.data_split[idx]
+        img_id = self.name2id[name]
+        anns = self.gt.anns_for(img_id)
+        anno = self.annotations[name]
+        image, (w, h) = self._image(name)
+        res4 = np.array([w, h, w, h], dtype=np.float32)
+        res2 = np.array([w, h], dtype=np.float32)
+
+        xywh = np.array(
+            [a["bbox"] for a in anns], dtype=np.float32
+        ).reshape(-1, 4)
+        boxes_cxcywh = np.concatenate(
+            [xywh[:, :2] + xywh[:, 2:] / 2.0, xywh[:, 2:]], axis=1
+        ) / res4
+        rects = _exemplar_centers_whs(anno["box_examples_coordinates"]) / res4
+        points = np.array(anno["points"], dtype=np.float32) / res2
+
+        return {
+            "image": image,
+            "image_name": name,
+            "image_id": img_id,
+            "boxes": boxes_cxcywh.astype(np.float32),
+            "exemplar_boxes": rects.astype(np.float32),  # xyxy normalized
+            "points": points,
+            "orig_size": (w, h),
+        }
+
+
+class FSC147Pseudo(FSCD147Base):
+    """Stage-2 training set: stage-1 pseudo boxes (cxcywh, pixel units inside
+    a COCO 'bbox' field) + exemplar rects (reference FSC147Dataset,
+    data/fsc147.py:12-102)."""
+
+    def __init__(self, data_path, split, scale_factor: int = 32,
+                 pseudo_file: Optional[str] = None):
+        super().__init__(data_path, split, scale_factor)
+        pseudo_file = pseudo_file or os.path.join(
+            data_path, "annotations", f"pseudo_bbox_{split}.json"
+        )
+        self.pseudo = CocoJson(pseudo_file, "cxcywh")
+        assert self.pseudo.box_format == "cxcywh", (
+            "pseudo-label files store center-format boxes "
+            "(reference engine.py:163)"
+        )
+        self.ids = self.pseudo.image_ids()
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, idx) -> Dict:
+        img_id = self.ids[idx]
+        info = self.pseudo.load_img(img_id)
+        name = info["file_name"]
+        anns = self.pseudo.anns_for(img_id)
+        anno = self.annotations[name]
+
+        image, (w, h) = self._image(name)
+        res4 = np.array([w, h, w, h], dtype=np.float32)
+
+        boxes = np.array(
+            [a["bbox"] for a in anns], dtype=np.float32
+        ).reshape(-1, 4) / res4  # already cxcywh
+        rects = _exemplar_centers_whs(anno["box_examples_coordinates"]) / res4
+
+        return {
+            "image": image,
+            "image_name": name,
+            "image_id": img_id,
+            "boxes": boxes.astype(np.float32),
+            "exemplar_boxes": rects.astype(np.float32),
+            "orig_size": (w, h),
+        }

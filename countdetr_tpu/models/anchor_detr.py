@@ -1,0 +1,152 @@
+"""CountingDetr — the full model for BOTH stages of the reference pipeline,
+selected by ModelConfig.stage.
+
+stage 1 (reference 1st-stage models/anchor_detr.py:33-113):
+  backbone -> 1x1 input_proj(2048->256)+GroupNorm(32) -> transformer with
+  'defined' prior (the annotated points ARE the anchors) -> heads; outputs
+  {pred_logits, pred_points, pred_wh}.
+
+stage 2 (reference 2nd-stage models/anchor_detr.py:34-140, backbone.py:116-145):
+  backbone C5 + exemplar feature aggregation (per-exemplar center-pixel
+  feature, mean over exemplars, channel-wise modulation, concat -> 4096ch)
+  -> aggr_input_proj(4096->256)+GN -> transformer with grid prior and a
+  Laplace variance head; outputs {pred_logits, pred_boxes, pred_vars,
+  reference_points} (+aux_outputs when aux_loss).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from countdetr_tpu.config import ModelConfig
+from countdetr_tpu.models.resnet import ResNetBackbone, downsample_mask
+from countdetr_tpu.models.transformer import Transformer
+from countdetr_tpu.ops.posemb import grid_reference_points
+
+
+def _xavier_conv(key, shape, dtype=jnp.float32):
+    """torch xavier_uniform_ for a conv weight, gain=1 (reference
+    anchor_detr.py:76-78). flax kernels are (kh, kw, in, out)."""
+    kh, kw, cin, cout = shape
+    rf = kh * kw
+    limit = math.sqrt(6.0 / (cin * rf + cout * rf))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+class InputProj(nn.Module):
+    """1x1 conv + GroupNorm(32) (reference anchor_detr.py:67-73)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, (1, 1), use_bias=True,
+            kernel_init=_xavier_conv, bias_init=nn.initializers.zeros,
+            name="conv",
+        )(x)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(x)
+
+
+def exemplar_aggregate(feat: jnp.ndarray, rects: jnp.ndarray) -> jnp.ndarray:
+    """Exemplar feature aggregation (reference 2nd-stage backbone.py:116-145).
+
+    feat:  (B, h, w, C) C5 features
+    rects: (B, K, 4) normalized xyxy exemplar boxes
+    For each exemplar, sample the feature at the box-center pixel using the
+    reference's exact int() truncation; mean over exemplars -> per-channel
+    vector; return concat([feat, feat * vec]) with 2C channels.
+    """
+    B, h, w, C = feat.shape
+    cx = (rects[..., 0] + rects[..., 2]) * 0.5 * w
+    cy = (rects[..., 1] + rects[..., 3]) * 0.5 * h
+    xi = jnp.clip(cx.astype(jnp.int32), 0, w - 1)  # int() truncation
+    yi = jnp.clip(cy.astype(jnp.int32), 0, h - 1)
+
+    def gather_one(f, ys, xs):
+        return f[ys, xs]  # (K, C)
+
+    point_feats = jax.vmap(gather_one)(feat, yi, xi)  # (B, K, C)
+    vec = point_feats.mean(axis=1)  # (B, C)
+    modulated = feat * vec[:, None, None, :]
+    return jnp.concatenate([feat, modulated], axis=-1)
+
+
+class CountingDetr(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, H, W, 3) normalized
+        pad_mask: jnp.ndarray,  # (B, H, W) bool, True on padding
+        points: Optional[jnp.ndarray] = None,  # (B, P, 2) for defined/sampled prior
+        points_valid: Optional[jnp.ndarray] = None,  # (B, P)
+        exemplar_boxes: Optional[jnp.ndarray] = None,  # (B, K, 4) xyxy norm (stage 2)
+    ):
+        cfg = self.cfg
+
+        feats = ResNetBackbone(dilation=cfg.dilation, name="backbone")(
+            images, pad_mask
+        )
+        feat = feats[-1]
+        h, w = feat.shape[1], feat.shape[2]
+        fmask = downsample_mask(pad_mask, h, w)
+
+        if cfg.exemplar_aggregation:
+            assert exemplar_boxes is not None, "stage 2 needs exemplar boxes"
+            feat = exemplar_aggregate(feat, exemplar_boxes)
+            src = InputProj(cfg.hidden_dim, name="aggr_input_proj")(feat)
+        else:
+            src = InputProj(cfg.hidden_dim, name="input_proj")(feat)
+
+        # spatial prior -> reference points (reference transformer.py:104-137)
+        B = images.shape[0]
+        if cfg.spatial_prior == "learned":
+            pos = self.param(
+                "position",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, 0.0, 1.0),
+                (cfg.num_query_position, 2),
+            )
+            reference_points = jnp.broadcast_to(pos[None], (B, *pos.shape))
+            query_valid = None
+        elif cfg.spatial_prior == "grid":
+            pos = grid_reference_points(cfg.num_query_position)
+            reference_points = jnp.broadcast_to(pos[None], (B, *pos.shape))
+            query_valid = None
+        elif cfg.spatial_prior in ("defined", "sampled"):
+            assert points is not None, f"{cfg.spatial_prior} prior needs points"
+            reference_points = points
+            query_valid = points_valid
+        else:
+            raise ValueError(f"unknown spatial prior {cfg.spatial_prior}")
+
+        tr = Transformer(cfg, name="transformer")(
+            src, fmask, reference_points, query_valid
+        )
+
+        cls, coord = tr["cls"], tr["coord"]
+        if cfg.stage == 1:
+            out = {
+                "pred_logits": cls[-1],
+                "pred_points": coord[-1][..., :2],
+                "pred_wh": coord[-1][..., 2:],
+            }
+        else:
+            out = {
+                "pred_logits": cls[-1],
+                "pred_boxes": coord[-1],
+                "pred_vars": tr["var"][-1],
+                "reference_points": tr["reference_points"],
+            }
+            if cfg.aux_loss:
+                out["aux_outputs"] = [
+                    {"pred_logits": cls[i], "pred_boxes": coord[i]}
+                    for i in range(cls.shape[0] - 1)
+                ]
+        return out

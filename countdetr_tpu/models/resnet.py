@@ -1,0 +1,167 @@
+"""ResNet-50 (DC5) backbone in Flax, NHWC, frozen BatchNorm.
+
+Functionally equivalent to the reference's vendored torchvision ResNet
+(reference models/resnet.py:1-413) with FrozenBatchNorm2d
+(models/backbone.py:22-60) and DC5 dilation
+(replace_stride_with_dilation=[False, False, True], backbone.py:96-101):
+
+  * all convs use EXPLICIT torch-style symmetric padding, not XLA 'SAME',
+    so imported torch weights reproduce activations exactly;
+  * FrozenBN keeps the four torch buffers (weight/bias/running_mean/var) so
+    .pth checkpoints import losslessly; it is an affine op, XLA fuses it
+    into the surrounding convs;
+  * torchvision's _make_layer dilation quirk is preserved: the FIRST block of
+    a dilated stage uses the PREVIOUS dilation (1), later blocks use 2.
+
+Padding invariance: the reference runs batch=1 and never pads
+(reference main.py:34), so it never faces this; we batch via (H, W) buckets,
+so the backbone re-zeroes the padded region before every SPATIAL conv
+(the 7x7 stem / maxpool and each bottleneck 3x3). Zero image padding then
+behaves exactly like the convs' own zero padding, making features on the
+valid region bit-identical regardless of bucket — tested by
+tests/test_model.py::test_padding_invariance. Pointwise 1x1 convs and the
+frozen BNs need no masking. With no padding mask (or an all-valid one) this
+is the identity, so single-image parity with the reference is unaffected.
+
+Layer trainability (reference backbone.py:66-68: only layer2/3/4 get
+gradients, at lr_backbone) is handled by the optimizer mask in
+train/optimizer.py, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """y = x * weight/sqrt(var+eps) + (bias - mean*weight/sqrt(var+eps))."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        rm = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        rv = self.param("running_var", nn.initializers.ones, (self.features,))
+        scale = w * jnp.reciprocal(jnp.sqrt(rv + self.eps))
+        return x * scale + (b - rm * scale)
+
+
+def _conv(features, kernel, stride=1, dilation=1, name=None):
+    pad = (kernel // 2) * dilation
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=False,
+        name=name,
+    )
+
+
+def _apply_valid(x, valid):
+    """Zero out padded pixels. valid: (B, H, W) float {0,1} or None."""
+    if valid is None:
+        return x
+    return x * valid[..., None]
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (v1.5: stride on the 3x3 conv)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, valid=None):
+        identity = x
+        out = _conv(self.planes, 1, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        # re-zero padding so the spatial conv's receptive field matches the
+        # unpadded image exactly (valid is at this input resolution)
+        out = _apply_valid(out, valid)
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            identity = _conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet-50; returns the C5 feature map (stride 16 with dilation=True).
+
+    pad_mask: optional (B, H, W) bool at IMAGE resolution, True on padding.
+    return_interm: also return C3/C4 (for num_feature_levels > 1).
+    """
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    dilation: bool = True  # DC5
+    return_interm: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x, pad_mask: Optional[jnp.ndarray] = None
+    ) -> Tuple[jnp.ndarray, ...]:
+        # valid masks at each feature resolution the spatial convs see
+        def valid_at(h, w):
+            if pad_mask is None:
+                return None
+            return (~downsample_mask(pad_mask, h, w)).astype(x.dtype)
+
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
+            name="conv1",
+        )(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        # mask before maxpool: relu output >= 0, padded zeros never win the max
+        x = _apply_valid(x, valid_at(x.shape[1], x.shape[2]))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        planes = (64, 128, 256, 512)
+        for stage in range(4):
+            stride = 1 if stage == 0 else 2
+            dilate = self.dilation and stage == 3
+            # torchvision _make_layer: with dilate, the first block keeps the
+            # previous dilation (1) and stride becomes 1; later blocks dilate.
+            first_dil, rest_dil = 1, 1
+            if dilate:
+                stride, first_dil, rest_dil = 1, 1, 2
+            for i in range(self.layers[stage]):
+                v = valid_at(x.shape[1], x.shape[2])
+                x = Bottleneck(
+                    planes=planes[stage],
+                    stride=stride if i == 0 else 1,
+                    dilation=first_dil if i == 0 else rest_dil,
+                    downsample=(i == 0),
+                    name=f"layer{stage + 1}_{i}",
+                )(x, v)
+            feats.append(x)
+
+        if self.return_interm:
+            return tuple(feats[1:])  # C3, C4, C5
+        return (feats[-1],)
+
+
+def downsample_mask(pad_mask: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Nearest-neighbour downsample of the (B, H, W) bool padding mask to the
+    feature resolution — same as the reference's F.interpolate(mode='nearest')
+    (backbone.py:85)."""
+    B, H, W = pad_mask.shape
+    yi = jnp.floor(jnp.arange(h) * (H / h)).astype(jnp.int32)
+    xi = jnp.floor(jnp.arange(w) * (W / w)).astype(jnp.int32)
+    return pad_mask[:, yi][:, :, xi]

@@ -1,0 +1,188 @@
+"""Loss functions for both training stages, fully masked and jit-safe.
+
+Everything here is a pure function over fixed-shape padded arrays; validity
+masks replace the reference's per-image dynamic tensors so a whole batch is
+one XLA program.
+
+Reference semantics being matched:
+  stage 1 BoundingBoxCriterion   anchor_detr.py:317-337 (1st stage tree)
+  stage 2 SetCriterion           anchor_detr.py:143-367 (2nd stage tree)
+  sigmoid focal loss             segmentation.py:198-223
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from countdetr_tpu.ops import boxes as box_ops
+
+
+def sigmoid_focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Elementwise focal loss (reference segmentation.py:198-223 before its
+    final reduction). Returns the same shape as logits."""
+    prob = jax.nn.sigmoid(logits)
+    # stable BCE-with-logits: max(x,0) - x*z + log1p(exp(-|x|))
+    ce = jnp.clip(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = prob * targets + (1.0 - prob) * (1.0 - targets)
+    loss = ce * (1.0 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+        loss = alpha_t * loss
+    return loss
+
+
+def stage1_criterion(
+    pred_wh: jnp.ndarray,  # (B, Q, 2) normalized predicted w,h per point-query
+    tgt_points: jnp.ndarray,  # (B, Q, 2) normalized point centers (the anchors)
+    tgt_whs: jnp.ndarray,  # (B, Q, 2) normalized exemplar w,h
+    valid: jnp.ndarray,  # (B, Q) bool — real (non-padded) queries
+) -> Dict[str, jnp.ndarray]:
+    """Stage-1 loss: no matching — queries ARE the annotated points.
+
+    Mirrors BoundingBoxCriterion (reference 1st-stage anchor_detr.py:317-337):
+      loss_wh   = mean_{valid elements} |wh - wh*|            (F.l1_loss default)
+      loss_giou = sum_{valid} (1 - GIoU(box, box*)) / n_valid
+    where both boxes share the GT point as center.
+    Weights applied by the caller: {loss_wh: 1, loss_giou: 0.4}.
+    """
+    v = valid.astype(pred_wh.dtype)
+    n = jnp.maximum(v.sum(), 1.0)
+
+    l1 = jnp.abs(pred_wh - tgt_whs) * v[..., None]
+    loss_wh = l1.sum() / jnp.maximum(2.0 * n, 1.0)  # mean over valid elements
+
+    src_boxes = jnp.concatenate([tgt_points, pred_wh], axis=-1)
+    tgt_boxes = jnp.concatenate([tgt_points, tgt_whs], axis=-1)
+    giou = box_ops.generalized_box_iou_aligned(
+        box_ops.box_cxcywh_to_xyxy(src_boxes), box_ops.box_cxcywh_to_xyxy(tgt_boxes)
+    )
+    loss_giou = ((1.0 - giou) * v).sum() / n
+    return {"loss_wh": loss_wh, "loss_giou": loss_giou}
+
+
+class MatchedTargets(NamedTuple):
+    """A batched Hungarian-match result over padded targets.
+
+    tgt2query: (B, T) int32 — query index assigned to each target slot
+    tgt_valid: (B, T) bool  — real targets (padding rows are False)
+    """
+
+    tgt2query: jnp.ndarray
+    tgt_valid: jnp.ndarray
+
+
+def stage2_criterion(
+    pred_logits: jnp.ndarray,  # (B, Q, C)  C = 2 classes
+    pred_boxes: jnp.ndarray,  # (B, Q, 4)  cxcywh in [0, 1]
+    pred_vars: jnp.ndarray,  # (B, Q, 2)  Laplace scale for (w, h)
+    tgt_boxes: jnp.ndarray,  # (B, T, 4)  cxcywh (padded)
+    tgt_labels: jnp.ndarray,  # (B, T) int (0 = fg for FSCD)
+    match: MatchedTargets,
+    focal_alpha: float = 0.25,
+    num_boxes: jnp.ndarray | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """Stage-2 set-prediction losses given an assignment.
+
+    Reference: SetCriterion (2nd-stage anchor_detr.py:143-367). num_boxes is
+    the global number of target boxes (the reference all-reduces it across
+    ranks and divides by world size, :321-325); under pjit the arrays here are
+    already global, so the default is the batch-total clamped to >= 1.
+
+    Returns unweighted losses; the caller applies
+    {loss_ce: 2, loss_bbox: 5, loss_giou: 2, loss_variance: 2}.
+    """
+    B, Q, C = pred_logits.shape
+    T = tgt_boxes.shape[1]
+    tq = match.tgt2query
+    tv = match.tgt_valid
+    vf = tv.astype(pred_boxes.dtype)
+
+    if num_boxes is None:
+        num_boxes = jnp.maximum(vf.sum(), 1.0)
+
+    # ---- focal classification loss (reference :166-197) -------------------
+    # one-hot over (B, Q+1, C): padded targets scatter to the extra row Q.
+    q_idx = jnp.where(tv, tq, Q)
+    onehot = jnp.zeros((B, Q + 1, C), dtype=pred_logits.dtype)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    onehot = onehot.at[b_idx, q_idx, tgt_labels].set(1.0)
+    onehot = onehot[:, :Q, :]
+    # reference: focal.mean(1).sum() / num_boxes * Q  ==  focal.sum() / num_boxes
+    loss_ce = sigmoid_focal_loss(pred_logits, onehot, alpha=focal_alpha).sum() / num_boxes
+
+    # ---- box losses on matched pairs (reference :213-234) -----------------
+    src_boxes = jnp.take_along_axis(pred_boxes, tq[..., None], axis=1)  # (B, T, 4)
+    l1 = jnp.abs(src_boxes - tgt_boxes) * vf[..., None]
+    loss_bbox = l1.sum() / num_boxes
+
+    giou = box_ops.generalized_box_iou_aligned(
+        box_ops.box_cxcywh_to_xyxy(src_boxes), box_ops.box_cxcywh_to_xyxy(tgt_boxes)
+    )
+    loss_giou = ((1.0 - giou) * vf).sum() / num_boxes
+
+    # ---- Laplace variance loss (reference :264-289) -----------------------
+    # The reference computes F.l1_loss(src_wh, tgt_wh) — a SCALAR mean over
+    # the matched set — then divides it by each |sigma| and adds |log sigma|:
+    #   sum_i [ meanL1_w/|sw_i| + |log sw_i| + meanL1_h/|sh_i| + |log sh_i| ] / num_boxes
+    src_vars = jnp.take_along_axis(pred_vars, tq[..., None], axis=1)  # (B, T, 2)
+    n_matched = jnp.maximum(vf.sum(), 1.0)
+    mean_l1_wh = (jnp.abs(src_boxes[..., 2:] - tgt_boxes[..., 2:]) * vf[..., None]).sum(
+        axis=(0, 1)
+    ) / n_matched  # (2,)
+    abs_var = jnp.abs(src_vars)
+    per_t = mean_l1_wh / jnp.maximum(abs_var, 1e-8) + jnp.abs(
+        jnp.log(jnp.maximum(abs_var, 1e-8))
+    )  # (B, T, 2)
+    loss_variance = (per_t.sum(-1) * vf).sum() / num_boxes
+
+    # ---- cardinality (log-only, no gradient; reference :199-211) ----------
+    card_pred = (jnp.argmax(pred_logits, axis=-1) != C - 1).sum(axis=1)
+    card_err = jnp.abs(card_pred.astype(jnp.float32) - vf.sum(axis=1)).mean()
+
+    return {
+        "loss_ce": loss_ce,
+        "loss_bbox": loss_bbox,
+        "loss_giou": loss_giou,
+        "loss_variance": loss_variance,
+        "cardinality_error": jax.lax.stop_gradient(card_err),
+    }
+
+
+def stage2_cost_matrix(
+    pred_logits: jnp.ndarray,  # (B, Q, C)
+    pred_boxes: jnp.ndarray,  # (B, Q, 4)
+    tgt_boxes: jnp.ndarray,  # (B, T, 4)
+    tgt_labels: jnp.ndarray,  # (B, T)
+    cost_class: float = 2.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Batched matching cost (B, Q, T).
+
+    Reference OriginalHungarianMatcher (2nd-stage matcher.py:197-247): the
+    class term is the focal-style pos-minus-neg cost at the target's label,
+    the box terms are L1 (cdist, p=1) and negative GIoU.
+    """
+    prob = jax.nn.sigmoid(pred_logits)  # (B, Q, C)
+    # the reference's exact form: -log(1 - p + 1e-8) / -log(p + 1e-8)
+    neg = (1.0 - focal_alpha) * (prob**focal_gamma) * (-jnp.log(1.0 - prob + 1e-8))
+    pos = focal_alpha * ((1.0 - prob) ** focal_gamma) * (-jnp.log(prob + 1e-8))
+    cost_cls = jnp.take_along_axis(
+        pos - neg, tgt_labels[:, None, :].astype(jnp.int32), axis=2
+    )  # (B, Q, T)
+
+    l1 = jnp.abs(pred_boxes[:, :, None, :] - tgt_boxes[:, None, :, :]).sum(-1)
+    giou = box_ops.generalized_box_iou_pairwise(
+        box_ops.box_cxcywh_to_xyxy(pred_boxes), box_ops.box_cxcywh_to_xyxy(tgt_boxes)
+    )
+    return cost_bbox * l1 + cost_class * cost_cls + cost_giou * (-giou)

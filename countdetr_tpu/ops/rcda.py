@@ -1,0 +1,144 @@
+"""Row-Column Decoupled Attention (RCDA) — the AnchorDETR attention.
+
+Semantics (reference models/row_column_decoupled_attention.py:23-272):
+  * one packed input projection of shape (5E, E): q_row, q_col, k_row, k_col, v
+  * projected keys are AXIS-AVERAGED: k_row = proj(key_row).mean(over H) ->
+    (B, W, E); k_col = proj(key_col).mean(over W) -> (B, H, E)
+  * two independent 1-D attentions per head:
+      A_row = softmax(q_row . k_row^T / sqrt(d))   (B, n, L, W)
+      A_col = softmax(q_col . k_col^T / sqrt(d))   (B, n, L, H)
+  * output[q] = sum_h sum_w A_col[q,h] * A_row[q,w] * v[h,w]
+  * final output projection (E, E)
+
+This drops attention memory from O(L*HW) toward O(L*(H+W)) — the reference's
+only sequence-scaling device (SURVEY.md section 2.8).
+
+This module is the pure-jnp reference implementation (the einsum forms the
+reference documents at row_column_decoupled_attention.py:228-230,243-245 are
+the oracle); ops/pallas/rcda_kernel.py provides the fused TPU kernel and
+falls back to this.
+
+Layout note: everything is NHWC / (B, L, E) — TPU-native; no torch-style
+(L, B, E) transposes survive here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class RCDAParams(NamedTuple):
+    """Packed exactly like the reference for checkpoint portability:
+    in_proj_weight rows are [q_row; q_col; k_row; k_col; v] (5E, E)."""
+
+    in_proj_weight: jnp.ndarray  # (5E, E)
+    in_proj_bias: jnp.ndarray  # (5E,)
+    out_proj_weight: jnp.ndarray  # (E, E)
+    out_proj_bias: jnp.ndarray  # (E,)
+
+
+def rcda_attention(
+    query_row: jnp.ndarray,  # (B, L, E)
+    query_col: jnp.ndarray,  # (B, L, E)
+    key_row: jnp.ndarray,  # (B, H, W, E)
+    key_col: jnp.ndarray,  # (B, H, W, E)
+    value: jnp.ndarray,  # (B, H, W, E)
+    params: RCDAParams,
+    num_heads: int,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, H, W) True = pad
+) -> jnp.ndarray:
+    """Returns (B, L, E)."""
+    B, L, E = query_row.shape
+    H, W = key_row.shape[1], key_row.shape[2]
+    d = E // num_heads
+    scaling = d**-0.5
+
+    w = params.in_proj_weight
+    b = params.in_proj_bias
+    wq_r, wq_c, wk_r, wk_c, wv = (w[i * E : (i + 1) * E] for i in range(5))
+    bq_r, bq_c, bk_r, bk_c, bv = (b[i * E : (i + 1) * E] for i in range(5))
+
+    # torch F.linear(x, W, b) = x @ W.T + b
+    q_row = query_row @ wq_r.T + bq_r  # (B, L, E)
+    q_col = query_col @ wq_c.T + bq_c
+    k_row_full = key_row @ wk_r.T + bk_r  # (B, H, W, E)
+    k_col_full = key_col @ wk_c.T + bk_c
+    if key_padding_mask is None:
+        k_row = k_row_full.mean(axis=1)  # (B, W, E)  mean over H
+        k_col = k_col_full.mean(axis=2)  # (B, H, E)  mean over W
+    else:
+        # masked axis-means: the reference averages over the FULL axis
+        # (row_column_decoupled_attention.py:163-164) because it never pads
+        # (batch=1); with bucketed padding the mean must only see valid
+        # rows/cols or padding would leak into every key.
+        valid_h = (~key_padding_mask[:, :, 0]).astype(k_row_full.dtype)  # (B, H)
+        valid_w = (~key_padding_mask[:, 0, :]).astype(k_row_full.dtype)  # (B, W)
+        nh = jnp.maximum(valid_h.sum(1), 1.0)[:, None, None]
+        nw = jnp.maximum(valid_w.sum(1), 1.0)[:, None, None]
+        k_row = (k_row_full * valid_h[:, :, None, None]).sum(axis=1) / nh
+        k_col = (k_col_full * valid_w[:, None, :, None]).sum(axis=2) / nw
+    v = value @ wv.T + bv  # (B, H, W, E)
+
+    def heads(x, *lead):
+        return x.reshape(*x.shape[:-1], num_heads, d)
+
+    q_row = heads(q_row) * scaling  # (B, L, n, d)
+    q_col = heads(q_col) * scaling
+    k_row = heads(k_row)  # (B, W, n, d)
+    k_col = heads(k_col)  # (B, H, n, d)
+    v = heads(v)  # (B, H, W, n, d)
+
+    attn_row = jnp.einsum("blnd,bwnd->bnlw", q_row, k_row)  # (B, n, L, W)
+    attn_col = jnp.einsum("blnd,bhnd->bnlh", q_col, k_col)  # (B, n, L, H)
+
+    if key_padding_mask is not None:
+        mask_row = key_padding_mask[:, 0, :]  # (B, W)
+        mask_col = key_padding_mask[:, :, 0]  # (B, H)
+        attn_row = jnp.where(mask_row[:, None, None, :], -jnp.inf, attn_row)
+        attn_col = jnp.where(mask_col[:, None, None, :], -jnp.inf, attn_col)
+
+    attn_row = jax.nn.softmax(attn_row, axis=-1)
+    attn_col = jax.nn.softmax(attn_col, axis=-1)
+
+    # out[q] = sum_h A_col[q,h] * (sum_w A_row[q,w] * v[h,w])
+    # (the reference's documented einsum equivalent,
+    #  row_column_decoupled_attention.py:228-230)
+    hid = jnp.einsum("bnlw,bhwnd->bnlhd", attn_row, v)  # (B, n, L, H, d)
+    out = jnp.einsum("bnlh,bnlhd->blnd", attn_col, hid)  # (B, L, n, d)
+    out = out.reshape(B, L, E)
+    return out @ params.out_proj_weight.T + params.out_proj_bias
+
+
+def mha_attention(
+    query: jnp.ndarray,  # (B, L, E)
+    key: jnp.ndarray,  # (B, S, E)
+    value: jnp.ndarray,  # (B, S, E)
+    in_proj_weight: jnp.ndarray,  # (3E, E) packed q,k,v like torch nn.MHA
+    in_proj_bias: jnp.ndarray,  # (3E,)
+    out_proj_weight: jnp.ndarray,  # (E, E)
+    out_proj_bias: jnp.ndarray,  # (E,)
+    num_heads: int,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True = pad
+) -> jnp.ndarray:
+    """Standard multi-head attention with torch-nn.MultiheadAttention packed
+    weights — used for decoder query self-attention (reference
+    transformer.py:336,368) and as the non-RCDA attention_type option."""
+    B, L, E = query.shape
+    d = E // num_heads
+
+    wq, wk, wv = (in_proj_weight[i * E : (i + 1) * E] for i in range(3))
+    bq, bk, bv = (in_proj_bias[i * E : (i + 1) * E] for i in range(3))
+
+    q = (query @ wq.T + bq).reshape(B, L, num_heads, d) * (d**-0.5)
+    k = (key @ wk.T + bk).reshape(B, -1, num_heads, d)
+    v = (value @ wv.T + bv).reshape(B, -1, num_heads, d)
+
+    attn = jnp.einsum("blnd,bsnd->bnls", q, k)
+    if key_padding_mask is not None:
+        attn = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, attn)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bnls,bsnd->blnd", attn, v).reshape(B, L, E)
+    return out @ out_proj_weight.T + out_proj_bias
