@@ -1,0 +1,345 @@
+"""Unified CLI for the whole pipeline — one entry point instead of the
+reference's four vendored trees x (main.py / infer.py / eval_all.py).
+
+Flag names match the reference main.py (reference
+CountDETR_147_1st_stage/main.py:27-132) where they map 1:1; the mode flags
+are the same (--eval / --generate_pseudo_label / --test plus --infer from the
+stage-2 infer.py:243-244). Dataset/stage selection replaces tree selection:
+
+  stage 1 train   : --stage 1 --dataset_file fscd_147 --spatial_prior defined
+                    --num_query_pattern 1   (weakly_supervise_fscd_147.sh)
+  stage 1 pseudo  : same + --generate_pseudo_label (runs train/val/test points)
+  stage 2 train   : --stage 2 --spatial_prior grid --num_query_position 600
+                    (var_wh_laplace_600.sh)
+  stage 2 infer   : --stage 2 --infer --checkpoint_path ...
+  offline eval    : --evaluate_predictions preds.json (eval_all.py equivalent)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from countdetr_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("Counting-DETR TPU", add_help=False)
+    # optimization (reference main.py:29-45)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr_backbone", default=1e-5, type=float)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--epochs", default=30, type=int)
+    p.add_argument("--lr_drop", default=20, type=int)
+    p.add_argument("--clip_max_norm", default=0.1, type=float)
+    p.add_argument("--sgd", action="store_true")
+
+    # model (reference main.py:52-95)
+    p.add_argument("--backbone", default="resnet50", type=str)
+    p.add_argument("--dilation", default=True, type=bool)
+    p.add_argument("--num_feature_levels", default=1, type=int)
+    p.add_argument("--enc_layers", default=6, type=int)
+    p.add_argument("--dec_layers", default=6, type=int)
+    p.add_argument("--dim_feedforward", default=1024, type=int)
+    p.add_argument("--hidden_dim", default=256, type=int)
+    p.add_argument("--dropout", default=0.0, type=float)
+    p.add_argument("--nheads", default=8, type=int)
+    p.add_argument("--num_query_position", default=300, type=int)
+    p.add_argument("--num_query_pattern", default=3, type=int)
+    p.add_argument(
+        "--spatial_prior", default="learned",
+        choices=["learned", "grid", "defined", "sampled"],
+    )
+    p.add_argument(
+        "--attention_type", default="RCDA", choices=["RCDA", "nn.MultiheadAttention"]
+    )
+    p.add_argument("--stage", default=1, type=int, choices=[1, 2])
+    p.add_argument("--aux_loss", dest="aux_loss", action="store_true", default=False)
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
+
+    # loss coefficients (reference main.py:96-121)
+    p.add_argument("--set_cost_class", default=2, type=float)
+    p.add_argument("--set_cost_bbox", default=5, type=float)
+    p.add_argument("--set_cost_giou", default=2, type=float)
+    p.add_argument("--cls_loss_coef", default=2, type=float)
+    p.add_argument("--bbox_loss_coef", default=5, type=float)
+    p.add_argument("--giou_loss_coef", default=2, type=float)
+    p.add_argument("--variance_loss_coef", default=2, type=float)
+    p.add_argument("--focal_alpha", default=0.25, type=float)
+
+    # dataset
+    p.add_argument(
+        "--dataset_file", default="fscd_147",
+        choices=["fscd_147", "fscd_147_point", "fscd_147_test", "fscd_lvis",
+                 "fscd_lvis_point", "fscd_lvis_test"],
+    )
+    p.add_argument("--data_path", required=True, type=str)
+    p.add_argument("--output_dir", required=True, type=str)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--checkpoint_path", default="", type=str)
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--scale_factor", default=32, type=int)
+    p.add_argument("--num_workers", default=2, type=int)
+    p.add_argument("--log_every", default=100, type=int)
+
+    # modes
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--generate_pseudo_label", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--infer", action="store_true")
+    p.add_argument("--evaluate_predictions", default="", type=str,
+                   help="offline evaluator: path to predictions json")
+
+    # TPU additions
+    p.add_argument("--buckets", default="384x384,384x512,384x672", type=str)
+    p.add_argument("--max_points", default=700, type=int)
+    p.add_argument("--max_boxes", default=700, type=int)
+    p.add_argument("--compute_dtype", default="float32", type=str)
+    p.add_argument("--matmul_precision", default="default",
+                   choices=["default", "high", "highest"])
+    return p
+
+
+def config_from_args(args) -> Config:
+    model = ModelConfig(
+        backbone=args.backbone,
+        dilation=bool(args.dilation),
+        num_feature_levels=args.num_feature_levels,
+        hidden_dim=args.hidden_dim,
+        nheads=args.nheads,
+        enc_layers=args.enc_layers,
+        dec_layers=args.dec_layers,
+        dim_feedforward=args.dim_feedforward,
+        dropout=args.dropout,
+        attention_type="RCDA" if args.attention_type == "RCDA" else "MHA",
+        num_query_position=args.num_query_position,
+        num_query_pattern=args.num_query_pattern,
+        spatial_prior=args.spatial_prior,
+        stage=args.stage,
+        with_variance_head=args.stage == 2,
+        exemplar_aggregation=args.stage == 2,
+        aux_loss=args.aux_loss,
+        compute_dtype=args.compute_dtype,
+    )
+    buckets = tuple(
+        tuple(int(v) for v in b.split("x")) for b in args.buckets.split(",")
+    )
+    data = DataConfig(
+        dataset="fscd_lvis" if "lvis" in args.dataset_file else "fscd_147",
+        data_path=args.data_path,
+        scale_factor=args.scale_factor,
+        batch_size=args.batch_size,
+        max_points=args.max_points,
+        max_boxes=args.max_boxes,
+        buckets=buckets,
+    )
+    train = TrainConfig(
+        lr=args.lr,
+        lr_backbone=args.lr_backbone,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        lr_drop=args.lr_drop,
+        clip_max_norm=args.clip_max_norm,
+        sgd=args.sgd,
+        seed=args.seed,
+        cls_loss_coef=args.cls_loss_coef,
+        bbox_loss_coef=args.bbox_loss_coef,
+        giou_loss_coef=args.giou_loss_coef,
+        variance_loss_coef=args.variance_loss_coef,
+        focal_alpha=args.focal_alpha,
+        set_cost_class=args.set_cost_class,
+        set_cost_bbox=args.set_cost_bbox,
+        set_cost_giou=args.set_cost_giou,
+        output_dir=args.output_dir,
+        resume=args.resume,
+        auto_resume=args.auto_resume,
+        log_every=args.log_every,
+    )
+    return Config(model=model, data=data, train=train)
+
+
+def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
+    dp, sf = cfg.data.data_path, cfg.data.scale_factor
+    if cfg.data.dataset == "fscd_147":
+        from countdetr_tpu.data import fscd147 as D
+
+        if pseudo:
+            return D.FSC147Pseudo(dp, split, sf)
+        if name.endswith("_point"):
+            return D.FSCD147Points(dp, split, sf)
+        if name.endswith("_test"):
+            return D.FSCD147Eval(dp, split, sf)
+        return D.FSCD147Exemplars(dp, split, sf)
+    else:
+        from countdetr_tpu.data import fscd_lvis as D
+
+        if pseudo:
+            return D.FSCDLvisPseudo(dp, split, sf)
+        if name.endswith("_point"):
+            return D.FSCDLvisPoints(dp, split, sf)
+        if name.endswith("_test"):
+            return D.FSCDLvisEval(dp, split, sf)
+        return D.FSCDLvisExemplars(dp, split, sf)
+
+
+def main(args):
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    os.makedirs(args.output_dir, exist_ok=True)
+    cfg = config_from_args(args)
+
+    if args.evaluate_predictions:
+        from countdetr_tpu.cli.offline_eval import evaluate_predictions
+
+        metrics = evaluate_predictions(
+            args.evaluate_predictions, cfg.data.data_path,
+            dataset=cfg.data.dataset,
+        )
+        print(json.dumps(metrics, indent=2))
+        return metrics
+
+    from countdetr_tpu.core.mesh import make_mesh
+    from countdetr_tpu.data.batching import Batcher
+    from countdetr_tpu.models import CountingDetr
+    from countdetr_tpu.train import checkpoints as ckpt
+    from countdetr_tpu.train import engine
+    from countdetr_tpu.train.optimizer import build_optimizer
+    from countdetr_tpu.train.train_step import (
+        create_state, make_eval_step, make_forward, make_train_step,
+    )
+
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    model = CountingDetr(cfg.model)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    # init with a dummy batch of the smallest bucket
+    H, W = cfg.data.buckets[0]
+    B = cfg.data.batch_size
+    dummy_img = np.zeros((B, H, W, 3), np.float32)
+    dummy_mask = np.zeros((B, H, W), bool)
+    if cfg.model.stage == 1:
+        P = cfg.data.max_points if args.generate_pseudo_label else cfg.model.num_query_position
+        params = model.init(
+            rng, dummy_img, dummy_mask,
+            np.full((B, P, 2), 0.5, np.float32), np.ones((B, P), bool),
+        )
+    else:
+        params = model.init(
+            rng, dummy_img, dummy_mask,
+            exemplar_boxes=np.tile(
+                np.array([[0.1, 0.1, 0.3, 0.3]], np.float32), (B, 3, 1)
+            ),
+        )
+
+    # restore / import weights
+    if args.checkpoint_path or args.resume:
+        path = args.checkpoint_path or args.resume
+        if path.endswith(".pth"):
+            sd = ckpt.load_torch_checkpoint(path)
+            params = ckpt.torch_state_dict_to_params(sd, params)
+            print(f"imported torch checkpoint {path}")
+        else:
+            step = ckpt.latest_step(path)
+            if step is not None:
+                from countdetr_tpu.train.train_step import TrainState
+
+                dummy_tx = build_optimizer(cfg.train, params, 1)
+                st = create_state(params, dummy_tx)
+                params, _, meta = ckpt.restore_checkpoint(path, step, st)
+                print(f"restored {path} step {step}")
+
+    forward = make_forward(model, cfg)
+
+    if args.generate_pseudo_label:
+        for split in ("train", "val", "test"):
+            ds = build_dataset(args.dataset_file + "_point", split, cfg)
+            out = os.path.join(args.output_dir, f"pseudo_bbox_{split}.json")
+            engine.generate_pseudo_labels(forward, params, ds, cfg, out, mesh)
+            print(f"wrote {out}")
+        return
+
+    if args.infer or args.test:
+        from countdetr_tpu.cli.offline_eval import evaluate_results
+
+        all_metrics = {}
+        for split in ("val", "test"):
+            ds = build_dataset(args.dataset_file + "_test", split, cfg)
+            out = os.path.join(args.output_dir, f"predictions_{split}.json")
+            results = engine.infer_detections(forward, params, ds, cfg, out, mesh)
+            counting = engine.counting_summary(results)
+            ap = evaluate_results(results, ds)
+            all_metrics[split] = {**counting, **ap}
+            print(split, json.dumps(all_metrics[split], indent=2))
+        with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+            json.dump(all_metrics, f, indent=2)
+        return all_metrics
+
+    # ---- training ----------------------------------------------------------
+    train_ds = build_dataset(
+        args.dataset_file, "train", cfg, pseudo=cfg.model.stage == 2
+    )
+    val_ds = None
+    try:
+        val_ds = build_dataset(
+            args.dataset_file, "val", cfg, pseudo=cfg.model.stage == 2
+        )
+    except (FileNotFoundError, KeyError):
+        pass
+
+    batcher = Batcher(
+        train_ds, B, cfg.data.buckets,
+        max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
+        shuffle=True, seed=cfg.train.seed,
+    )
+    steps_per_epoch = max(len(train_ds) // B, 1)
+    tx = build_optimizer(cfg.train, params, steps_per_epoch)
+    state = create_state(params, tx)
+
+    start_epoch = args.start_epoch
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    if args.auto_resume:
+        step = ckpt.latest_step(ckpt_dir)
+        if step is not None:
+            p, o, meta = ckpt.restore_checkpoint(ckpt_dir, step, state)
+            state = state._replace(params=p, opt_state=o)
+            start_epoch = meta.get("epoch", 0) + 1
+            print(f"auto-resumed from epoch {start_epoch - 1}")
+
+    train_step = make_train_step(model, tx, cfg)
+    eval_step = make_eval_step(model, cfg) if val_ds is not None else None
+    log_path = os.path.join(args.output_dir, "log.txt")
+
+    for epoch in range(start_epoch, cfg.train.epochs):
+        t0 = time.time()
+        state, stats = engine.train_one_epoch(
+            train_step, state, batcher, mesh, epoch, cfg.train.log_every
+        )
+        stats["epoch_time_s"] = time.time() - t0
+        if val_ds is not None and eval_step is not None:
+            vb = Batcher(
+                val_ds, B, cfg.data.buckets,
+                max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
+            )
+            vstats = engine.evaluate(eval_step, state.params, vb, mesh)
+            stats.update({f"val_{k}": v for k, v in vstats.items()})
+        with open(log_path, "a") as f:
+            f.write(json.dumps({k: float(v) if isinstance(v, (int, float, np.floating)) else v for k, v in stats.items()}) + "\n")
+        if (epoch + 1) % cfg.train.checkpoint_every == 0 or epoch == cfg.train.epochs - 1:
+            ckpt.save_checkpoint(ckpt_dir, epoch, state, {"epoch": epoch})
+    print("training done")
+    return state
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        "Counting-DETR TPU", parents=[get_args_parser()]
+    )
+    main(parser.parse_args())

@@ -1,0 +1,62 @@
+"""Device mesh + sharding helpers.
+
+The reference's distribution layer is torch.distributed + NCCL collectives
+(reference util/misc.py:399-436) with DDP wrapping (main.py:206-208). On TPU
+none of that machinery survives: JAX owns rendezvous, a jax.sharding.Mesh
+spans the slice, pjit partitions the train step, and the all_reduce of
+num_boxes (reference anchor_detr.py:321-325) falls out of computing losses on
+globally-sharded arrays. Collectives ride ICI; multi-host init is
+jax.distributed.initialize.
+
+The default layout is pure data-parallel over one 'data' axis — the model is
+~37M params, so DP is the right parallelism; the mesh is N-D-ready for
+future tensor axes (mesh_axes in TrainConfig).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Sequence[int] = (-1,), axis_names: Sequence[str] = ("data",), devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = len(devices) // known
+    dev_array = np.array(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Device-put array leaves of a host batch with batch-dim sharding."""
+    sh = batch_sharding(mesh, axis)
+
+    def put(x):
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, sh)
+        return x
+
+    return {
+        k: (put(v) if not isinstance(v, (list, tuple, dict)) and k != "bucket" else v)
+        for k, v in batch.items()
+    }
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0

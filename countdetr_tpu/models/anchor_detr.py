@@ -38,19 +38,51 @@ def _xavier_conv(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -limit, limit)
 
 
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm(32) whose statistics only see VALID pixels.
+
+    torch GroupNorm at batch=1 (the reference, anchor_detr.py:70) normalizes
+    over the whole H x W map; with bucketed padding the padded zeros would
+    shift every image's statistics by an amount that depends on the bucket,
+    so the masked form is required for padding invariance. With no padding it
+    is exactly torch GroupNorm.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, valid=None):
+        B, H, W, C = x.shape
+        G = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        xg = x.reshape(B, H, W, G, C // G)
+        if valid is None:
+            mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+            var = jnp.square(xg - mean).mean(axis=(1, 2, 4), keepdims=True)
+        else:
+            v = valid[..., None, None].astype(x.dtype)  # (B,H,W,1,1)
+            n = jnp.maximum(v.sum(axis=(1, 2, 3, 4), keepdims=True), 1.0) * (C // G)
+            mean = (xg * v).sum(axis=(1, 2, 4), keepdims=True) / n
+            var = (jnp.square(xg - mean) * v).sum(axis=(1, 2, 4), keepdims=True) / n
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return xg.reshape(B, H, W, C) * scale + bias
+
+
 class InputProj(nn.Module):
     """1x1 conv + GroupNorm(32) (reference anchor_detr.py:67-73)."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid=None):
         x = nn.Conv(
             self.features, (1, 1), use_bias=True,
             kernel_init=_xavier_conv, bias_init=nn.initializers.zeros,
             name="conv",
         )(x)
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(x)
+        return MaskedGroupNorm(name="norm")(x, valid)
 
 
 def exemplar_aggregate(feat: jnp.ndarray, rects: jnp.ndarray) -> jnp.ndarray:
@@ -98,12 +130,13 @@ class CountingDetr(nn.Module):
         h, w = feat.shape[1], feat.shape[2]
         fmask = downsample_mask(pad_mask, h, w)
 
+        fvalid = ~fmask
         if cfg.exemplar_aggregation:
             assert exemplar_boxes is not None, "stage 2 needs exemplar boxes"
             feat = exemplar_aggregate(feat, exemplar_boxes)
-            src = InputProj(cfg.hidden_dim, name="aggr_input_proj")(feat)
+            src = InputProj(cfg.hidden_dim, name="aggr_input_proj")(feat, fvalid)
         else:
-            src = InputProj(cfg.hidden_dim, name="input_proj")(feat)
+            src = InputProj(cfg.hidden_dim, name="input_proj")(feat, fvalid)
 
         # spatial prior -> reference points (reference transformer.py:104-137)
         B = images.shape[0]

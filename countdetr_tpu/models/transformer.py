@@ -124,6 +124,7 @@ class RCDAAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, query_row, query_col, key_row, key_col, value, key_padding_mask=None):
@@ -141,6 +142,7 @@ class RCDAAttention(nn.Module):
         return rcda_ops.rcda_attention(
             query_row, query_col, key_row, key_col, value,
             params, self.num_heads, key_padding_mask,
+            use_pallas=self.use_pallas,
         )
 
 
@@ -193,6 +195,7 @@ class EncoderLayer(nn.Module):
     d_ffn: int
     num_heads: int
     attention_type: str = "RCDA"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, src, pad_mask, posemb_row, posemb_col, posemb_2d=None):
@@ -200,7 +203,9 @@ class EncoderLayer(nn.Module):
         if self.attention_type == "RCDA":
             q_row_in = src + posemb_row[:, None, :, :]  # (B,H,W,C)
             q_col_in = src + posemb_col[:, :, None, :]
-            src2 = RCDAAttention(self.d_model, self.num_heads, name="self_attn")(
+            src2 = RCDAAttention(
+                self.d_model, self.num_heads, self.use_pallas, name="self_attn"
+            )(
                 q_row_in.reshape(B, H * W, C),
                 q_col_in.reshape(B, H * W, C),
                 q_row_in,
@@ -228,6 +233,7 @@ class DecoderLayer(nn.Module):
     d_ffn: int
     num_heads: int
     attention_type: str = "RCDA"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -255,7 +261,9 @@ class DecoderLayer(nn.Module):
         if self.attention_type == "RCDA":
             k_row = src + posemb_row[:, None, :, :]
             k_col = src + posemb_col[:, :, None, :]
-            tgt2 = RCDAAttention(self.d_model, self.num_heads, name="cross_attn")(
+            tgt2 = RCDAAttention(
+                self.d_model, self.num_heads, self.use_pallas, name="cross_attn"
+            )(
                 tgt + query_pos_x, tgt + query_pos_y, k_row, k_col, src,
                 key_padding_mask=pad_mask,
             )
@@ -334,7 +342,7 @@ class Transformer(nn.Module):
         for i in range(cfg.enc_layers):
             x = EncoderLayer(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
-                cfg.attention_type, name=f"encoder_{i}",
+                cfg.attention_type, cfg.use_pallas_rcda, name=f"encoder_{i}",
             )(x, pad_mask, posemb_row, posemb_col, posemb_2d)
 
         query_pos = adapt_pos2d(pos2posemb2d(ref, cfg.hidden_dim // 2))
@@ -369,7 +377,7 @@ class Transformer(nn.Module):
         for i in range(cfg.dec_layers):
             out = DecoderLayer(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
-                cfg.attention_type, name=f"decoder_{i}",
+                cfg.attention_type, cfg.use_pallas_rcda, name=f"decoder_{i}",
             )(
                 out, query_pos, query_pos_x, query_pos_y, x, pad_mask,
                 posemb_row, posemb_col, qvalid, posemb_2d,

@@ -88,6 +88,7 @@ def stage2_criterion(
     match: MatchedTargets,
     focal_alpha: float = 0.25,
     num_boxes: jnp.ndarray | None = None,
+    batch_valid: jnp.ndarray | None = None,  # (B,) bool — real batch rows
 ) -> Dict[str, jnp.ndarray]:
     """Stage-2 set-prediction losses given an assignment.
 
@@ -116,7 +117,11 @@ def stage2_criterion(
     onehot = onehot.at[b_idx, q_idx, tgt_labels].set(1.0)
     onehot = onehot[:, :Q, :]
     # reference: focal.mean(1).sum() / num_boxes * Q  ==  focal.sum() / num_boxes
-    loss_ce = sigmoid_focal_loss(pred_logits, onehot, alpha=focal_alpha).sum() / num_boxes
+    focal = sigmoid_focal_loss(pred_logits, onehot, alpha=focal_alpha)
+    if batch_valid is not None:
+        # rows that only pad the batch to fixed size contribute nothing
+        focal = focal * batch_valid[:, None, None].astype(focal.dtype)
+    loss_ce = focal.sum() / num_boxes
 
     # ---- box losses on matched pairs (reference :213-234) -----------------
     src_boxes = jnp.take_along_axis(pred_boxes, tq[..., None], axis=1)  # (B, T, 4)

@@ -24,6 +24,7 @@ Layout note: everything is NHWC / (B, L, E) — TPU-native; no torch-style
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -40,6 +41,55 @@ class RCDAParams(NamedTuple):
     out_proj_bias: jnp.ndarray  # (E,)
 
 
+def _rcda_core_einsum(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads):
+    """Attention core on pre-projected tensors (the part the Pallas kernel
+    fuses). q_row/q_col: (B, L, E) pre-scaled; k_row: (B, W, E);
+    k_col: (B, H, E); v: (B, H, W, E); biases additive (B, W)/(B, H)."""
+    B, L, E = q_row.shape
+    H, W = v.shape[1], v.shape[2]
+    d = E // num_heads
+
+    def heads(x):
+        return x.reshape(*x.shape[:-1], num_heads, d)
+
+    qr, qc = heads(q_row), heads(q_col)
+    kr, kc = heads(k_row), heads(k_col)
+    vh = heads(v)
+
+    attn_row = jnp.einsum("blnd,bwnd->bnlw", qr, kr) + bias_row[:, None, None, :]
+    attn_col = jnp.einsum("blnd,bhnd->bnlh", qc, kc) + bias_col[:, None, None, :]
+    attn_row = jax.nn.softmax(attn_row, axis=-1)
+    attn_col = jax.nn.softmax(attn_col, axis=-1)
+
+    hid = jnp.einsum("bnlw,bhwnd->bnlhd", attn_row, vh)
+    out = jnp.einsum("bnlh,bnlhd->blnd", attn_col, hid)
+    return out.reshape(B, L, E)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _rcda_core_pallas(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads):
+    from countdetr_tpu.ops.pallas.rcda_kernel import fused_rcda
+
+    return fused_rcda(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
+
+
+def _rcda_pallas_fwd(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads):
+    out = _rcda_core_pallas(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
+    return out, (q_row, q_col, k_row, k_col, v, bias_row, bias_col)
+
+
+def _rcda_pallas_bwd(num_heads, res, g):
+    # rematerialized backward through the einsum formulation — same math,
+    # recomputes the softmaxes instead of saving the (B,n,L,H,d) intermediate
+    _, vjp = jax.vjp(
+        lambda *args: _rcda_core_einsum(*args, num_heads), *res
+    )
+    return vjp(g)
+
+
+_rcda_core_pallas.defvjp(_rcda_pallas_fwd, _rcda_pallas_bwd)
+
+
 def rcda_attention(
     query_row: jnp.ndarray,  # (B, L, E)
     query_col: jnp.ndarray,  # (B, L, E)
@@ -49,6 +99,7 @@ def rcda_attention(
     params: RCDAParams,
     num_heads: int,
     key_padding_mask: Optional[jnp.ndarray] = None,  # (B, H, W) True = pad
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Returns (B, L, E)."""
     B, L, E = query_row.shape
@@ -82,33 +133,18 @@ def rcda_attention(
         k_col = (k_col_full * valid_w[:, None, :, None]).sum(axis=2) / nw
     v = value @ wv.T + bv  # (B, H, W, E)
 
-    def heads(x, *lead):
-        return x.reshape(*x.shape[:-1], num_heads, d)
-
-    q_row = heads(q_row) * scaling  # (B, L, n, d)
-    q_col = heads(q_col) * scaling
-    k_row = heads(k_row)  # (B, W, n, d)
-    k_col = heads(k_col)  # (B, H, n, d)
-    v = heads(v)  # (B, H, W, n, d)
-
-    attn_row = jnp.einsum("blnd,bwnd->bnlw", q_row, k_row)  # (B, n, L, W)
-    attn_col = jnp.einsum("blnd,bhnd->bnlh", q_col, k_col)  # (B, n, L, H)
+    q_row = q_row * scaling
+    q_col = q_col * scaling
 
     if key_padding_mask is not None:
-        mask_row = key_padding_mask[:, 0, :]  # (B, W)
-        mask_col = key_padding_mask[:, :, 0]  # (B, H)
-        attn_row = jnp.where(mask_row[:, None, None, :], -jnp.inf, attn_row)
-        attn_col = jnp.where(mask_col[:, None, None, :], -jnp.inf, attn_col)
+        bias_row = jnp.where(key_padding_mask[:, 0, :], -1e30, 0.0).astype(q_row.dtype)
+        bias_col = jnp.where(key_padding_mask[:, :, 0], -1e30, 0.0).astype(q_row.dtype)
+    else:
+        bias_row = jnp.zeros((B, W), dtype=q_row.dtype)
+        bias_col = jnp.zeros((B, H), dtype=q_row.dtype)
 
-    attn_row = jax.nn.softmax(attn_row, axis=-1)
-    attn_col = jax.nn.softmax(attn_col, axis=-1)
-
-    # out[q] = sum_h A_col[q,h] * (sum_w A_row[q,w] * v[h,w])
-    # (the reference's documented einsum equivalent,
-    #  row_column_decoupled_attention.py:228-230)
-    hid = jnp.einsum("bnlw,bhwnd->bnlhd", attn_row, v)  # (B, n, L, H, d)
-    out = jnp.einsum("bnlh,bnlhd->blnd", attn_col, hid)  # (B, L, n, d)
-    out = out.reshape(B, L, E)
+    core = _rcda_core_pallas if use_pallas else _rcda_core_einsum
+    out = core(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
     return out @ params.out_proj_weight.T + params.out_proj_bias
 
 

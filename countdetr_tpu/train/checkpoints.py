@@ -1,0 +1,287 @@
+"""Checkpointing: Orbax for native checkpoints + a one-way importer from the
+reference's torch .pth state_dicts (reference main.py:223-238,297-311).
+
+Native layout (Orbax): {params, opt_state, step, epoch} with the config JSON
+alongside — same logical content the reference pickles
+({model, optimizer, lr_scheduler, epoch, args}, main.py:302-311).
+
+Torch import: maps the reference module tree (SURVEY.md section 2.1) onto our
+flax param tree. Notable transforms:
+  * conv weights OIHW -> HWIO;
+  * LayerNorm/GroupNorm weight -> scale;
+  * shared decoder heads: the reference stores the same tensor 6x as
+    cls_embed.{0..5} (transformer.py:96-97); we read index 0;
+  * bbox head bias: the reference folds the -2.0 wh bias into the layer bias
+    (transformer.py:95); our model adds it explicitly, so the import
+    subtracts it;
+  * stage-1 cls bias is shape (1,) due to a reference init quirk
+    (transformer.py:88 with num_classes=1) and broadcasts to (num_classes,).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Orbax native checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(directory: str, step: int, state, extra: Optional[Dict] = None):
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    ckpt = ocp.StandardCheckpointer()
+    path = os.path.join(directory, f"checkpoint_{step}")
+    ckpt.save(path, {"params": state.params, "opt_state": state.opt_state}, force=True)
+    ckpt.wait_until_finished()
+    meta = {"step": int(step)}
+    meta.update(extra or {})
+    with open(os.path.join(directory, f"checkpoint_{step}.meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(directory, "latest.json"), "w") as f:
+        json.dump({"step": int(step)}, f)
+
+
+def latest_step(directory: str) -> Optional[int]:
+    p = os.path.join(directory, "latest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["step"])
+
+
+def restore_checkpoint(directory: str, step: int, state):
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    ckpt = ocp.StandardCheckpointer()
+    target = {"params": state.params, "opt_state": state.opt_state}
+    restored = ckpt.restore(os.path.join(directory, f"checkpoint_{step}"), target)
+    meta_path = os.path.join(directory, f"checkpoint_{step}.meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return restored["params"], restored["opt_state"], meta
+
+
+# ---------------------------------------------------------------------------
+# torch .pth import
+# ---------------------------------------------------------------------------
+
+_STAGE_IDX = {1: "layer1", 2: "layer2", 3: "layer3", 4: "layer4"}
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def torch_state_dict_to_params(
+    sd: Dict[str, "np.ndarray"], template: Any, strict: bool = False
+) -> Any:
+    """Convert a reference torch state_dict (tensors or ndarrays) into our
+    param pytree, shaped like `template` (a flax variables dict)."""
+
+    def arr(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    out: Dict = {"params": {}}
+    p = out["params"]
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return arr(sd[key])
+
+    def conv(key):
+        return np.transpose(take(key), (2, 3, 1, 0))  # OIHW -> HWIO
+
+    # ---- backbone ---------------------------------------------------------
+    bb_prefix = None
+    for cand in ("backbone.body.", "backbone.0.body."):
+        if any(k.startswith(cand) for k in sd):
+            bb_prefix = cand
+            break
+    if bb_prefix:
+        bb: Dict = {}
+        for key in [k for k in sd if k.startswith(bb_prefix)]:
+            rel = key[len(bb_prefix):]
+            parts = rel.split(".")
+            if parts[0] == "conv1":
+                _set(bb, ("conv1", "kernel"), conv(key))
+            elif parts[0] == "bn1":
+                _set(bb, ("bn1", parts[1]), take(key))
+            elif parts[0].startswith("layer"):
+                block = f"{parts[0]}_{parts[1]}"
+                mod = parts[2]
+                if mod.startswith("conv"):
+                    _set(bb, (block, mod, "kernel"), conv(key))
+                elif mod.startswith("bn"):
+                    _set(bb, (block, mod, parts[3]), take(key))
+                elif mod == "downsample":
+                    if parts[3] == "0":  # conv
+                        _set(bb, (block, "downsample_conv", "kernel"), conv(key))
+                    else:  # bn
+                        _set(bb, (block, "downsample_bn", parts[4]), take(key))
+        p["backbone"] = bb
+
+    # ---- input projections ------------------------------------------------
+    for torch_name, ours in (("input_proj", "input_proj"), ("aggr_input_proj", "aggr_input_proj")):
+        k = f"{torch_name}.0.0.weight"
+        if k in sd:
+            p[ours] = {
+                "conv": {
+                    "kernel": conv(k),
+                    "bias": take(f"{torch_name}.0.0.bias"),
+                },
+                "norm": {
+                    "scale": take(f"{torch_name}.0.1.weight"),
+                    "bias": take(f"{torch_name}.0.1.bias"),
+                },
+            }
+
+    # ---- transformer ------------------------------------------------------
+    tr: Dict = {}
+    tp = "transformer."
+
+    def attn_block(prefix):
+        return {
+            "in_proj_weight": take(prefix + "in_proj_weight"),
+            "in_proj_bias": take(prefix + "in_proj_bias"),
+            "out_proj_weight": take(prefix + "out_proj.weight"),
+            "out_proj_bias": take(prefix + "out_proj.bias"),
+        }
+
+    def ln(prefix):
+        return {"scale": take(prefix + "weight"), "bias": take(prefix + "bias")}
+
+    def linear(prefix):
+        return {"weight": take(prefix + "weight"), "bias": take(prefix + "bias")}
+
+    def ffn(prefix):
+        return {
+            "linear1": linear(prefix + "linear1."),
+            "linear2": linear(prefix + "linear2."),
+            "norm2": ln(prefix + "norm2."),
+        }
+
+    i = 0
+    while f"{tp}encoder_layers.{i}.self_attn.in_proj_weight" in sd:
+        tr[f"encoder_{i}"] = {
+            "self_attn": attn_block(f"{tp}encoder_layers.{i}.self_attn."),
+            "norm1": ln(f"{tp}encoder_layers.{i}.norm1."),
+            "ffn": ffn(f"{tp}encoder_layers.{i}.ffn."),
+        }
+        i += 1
+    i = 0
+    while f"{tp}decoder_layers.{i}.self_attn.in_proj_weight" in sd:
+        tr[f"decoder_{i}"] = {
+            "self_attn": attn_block(f"{tp}decoder_layers.{i}.self_attn."),
+            "cross_attn": attn_block(f"{tp}decoder_layers.{i}.cross_attn."),
+            "norm1": ln(f"{tp}decoder_layers.{i}.norm1."),
+            "norm2": ln(f"{tp}decoder_layers.{i}.norm2."),
+            "ffn": ffn(f"{tp}decoder_layers.{i}.ffn."),
+        }
+        i += 1
+
+    for torch_name in ("modify_pattern", "pattern"):
+        if f"{tp}{torch_name}.weight" in sd:
+            tr["pattern"] = take(f"{tp}{torch_name}.weight")
+    for ap in ("adapt_pos1d", "adapt_pos2d"):
+        tr[ap] = {
+            "0": linear(f"{tp}{ap}.0."),
+            "2": linear(f"{tp}{ap}.2."),
+        }
+
+    # shared heads: stored 6x, read index 0
+    if f"{tp}cls_embed.0.weight" in sd:
+        w = take(f"{tp}cls_embed.0.weight")
+        b = take(f"{tp}cls_embed.0.bias")
+        num_classes = w.shape[0]
+        if b.shape[0] != num_classes:  # stage-1 (1,)-bias quirk
+            b = np.broadcast_to(b, (num_classes,)).copy()
+        tr["cls_embed"] = {"weight": w, "bias": b}
+        # mark duplicate head keys as consumed
+        j = 1
+        while f"{tp}cls_embed.{j}.weight" in sd:
+            used.add(f"{tp}cls_embed.{j}.weight")
+            used.add(f"{tp}cls_embed.{j}.bias")
+            j += 1
+    if f"{tp}bbox_embed.0.layers.0.weight" in sd:
+        layers = {}
+        for j in range(3):
+            layers[f"layers_{j}"] = linear(f"{tp}bbox_embed.0.layers.{j}.")
+        # our forward adds wh_bias [0,0,-2,-2] explicitly
+        layers["layers_2"]["bias"] = layers["layers_2"]["bias"] - np.array(
+            [0.0, 0.0, -2.0, -2.0], dtype=np.float32
+        )
+        tr["bbox_embed"] = layers
+        j = 1
+        while f"{tp}bbox_embed.{j}.layers.0.weight" in sd:
+            for l in range(3):
+                used.add(f"{tp}bbox_embed.{j}.layers.{l}.weight")
+                used.add(f"{tp}bbox_embed.{j}.layers.{l}.bias")
+            j += 1
+    if f"{tp}bbox_variance.0.layers.0.weight" in sd:
+        tr["bbox_variance"] = {
+            f"layers_{j}": linear(f"{tp}bbox_variance.0.layers.{j}.")
+            for j in range(3)
+        }
+        j = 1
+        while f"{tp}bbox_variance.{j}.layers.0.weight" in sd:
+            for l in range(3):
+                used.add(f"{tp}bbox_variance.{j}.layers.{l}.weight")
+                used.add(f"{tp}bbox_variance.{j}.layers.{l}.bias")
+            j += 1
+    if f"{tp}position.weight" in sd:
+        p["position"] = take(f"{tp}position.weight")
+
+    p["transformer"] = tr
+
+    if strict:
+        missing = [k for k in sd if k not in used]
+        if missing:
+            raise KeyError(f"unconsumed torch keys: {missing[:10]} (+{len(missing)-10 if len(missing)>10 else 0})")
+
+    # conform to the template tree: drop imported params the model doesn't
+    # have (e.g. the stage-2 torch model keeps an unused plain input_proj
+    # next to aggr_input_proj — reference anchor_detr.py:67-84), error on
+    # template params the import failed to provide, check shapes/dtypes.
+    def prune(src, tmpl):
+        if isinstance(tmpl, dict):
+            out_d = {}
+            for k, tv in tmpl.items():
+                if not isinstance(src, dict) or k not in src:
+                    raise KeyError(f"torch import missing param '{k}'")
+                out_d[k] = prune(src[k], tv)
+            return out_d
+        v = np.asarray(src)
+        t = np.asarray(tmpl)
+        if t.shape != v.shape:
+            raise ValueError(
+                f"shape mismatch: template {t.shape} vs import {v.shape}"
+            )
+        return v.astype(t.dtype)
+
+    return prune(out, jax.tree_util.tree_map(lambda x: x, template))
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pth; returns the model state_dict as numpy arrays."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}

@@ -1,0 +1,197 @@
+"""Host-side engine: epoch loops, pseudo-label generation, inference.
+
+Mirrors the reference engine.py surface (train_one_epoch / evaluate /
+generate_pseudo_label / infer — reference 1st-stage engine.py:27-265,
+2nd-stage engine.py:14-175) with the TPU execution model: batches stream
+through a prefetch thread, every step is one jitted program on the mesh,
+metrics sync to host only at print intervals.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from countdetr_tpu.config import Config
+from countdetr_tpu.core.mesh import shard_batch
+from countdetr_tpu.data.batching import Batcher, prefetch
+from countdetr_tpu.data.coco_io import write_coco
+from countdetr_tpu.eval.counting import counting_metrics
+from countdetr_tpu.eval.postprocess import adaptive_threshold_counting
+from countdetr_tpu.utils.logging import MetricLogger
+
+
+def train_one_epoch(train_step, state, batcher, mesh, epoch: int, log_every=100):
+    logger = MetricLogger(print_every=log_every, prefix=f"Epoch [{epoch}] ")
+    for batch in prefetch(iter(batcher)):
+        batch.pop("meta", None)
+        batch.pop("bucket", None)
+        db = shard_batch(batch, mesh) if mesh is not None else batch
+        state, metrics = train_step(state, db)
+        logger.step(metrics)
+        if logger._step % log_every == 0 and not math.isfinite(
+            float(metrics["loss"])
+        ):
+            raise FloatingPointError(f"non-finite loss at epoch {epoch}")
+    stats = logger.summary()
+    stats["epoch"] = epoch
+    return state, stats
+
+
+def evaluate(eval_step, params, batcher, mesh):
+    logger = MetricLogger(print_every=50, prefix="Eval ")
+    for batch in prefetch(iter(batcher)):
+        batch.pop("meta", None)
+        batch.pop("bucket", None)
+        db = shard_batch(batch, mesh) if mesh is not None else batch
+        metrics = eval_step(params, db)
+        logger.step(metrics, force=True)
+    return logger.summary()
+
+
+def generate_pseudo_labels(
+    forward, params, dataset, cfg: Config, out_path: str, mesh=None
+):
+    """Stage-1 pseudo-GT emission (reference engine.py:123-187): run the
+    point-regressor over every annotated point, denormalize, write a
+    COCO-format JSON whose bbox is [x_center, y_center, w, h] (explicit
+    box_format='cxcywh' — the reference leaves this implicit)."""
+    batcher = Batcher(
+        dataset,
+        cfg.data.batch_size,
+        cfg.data.buckets,
+        max_points=cfg.data.max_points,
+    )
+    images: List[Dict] = []
+    annotations: List[Dict] = []
+    ann_id = 1
+    for batch in prefetch(iter(batcher)):
+        meta = batch["meta"]
+        db = shard_batch(
+            {k: v for k, v in batch.items() if k not in ("meta", "bucket")}, mesh
+        ) if mesh is not None else batch
+        out = forward(
+            params, db["images"], db["pad_mask"], db["points"], db["points_valid"]
+        )
+        pred_wh = np.asarray(out["pred_wh"])  # (B, P, 2) normalized
+        pts = np.asarray(batch["points"])
+        pvalid = np.asarray(batch["points_valid"])
+        bvalid = np.asarray(batch["batch_valid"])
+        for i, m in enumerate(meta):
+            if not bvalid[i]:
+                continue
+            w, h = m["orig_size"]
+            img_id = m.get("image_id", len(images) + 1)
+            images.append(
+                {
+                    "id": img_id,
+                    "file_name": m.get("image_name", f"{img_id}.jpg"),
+                    "height": int(h),
+                    "width": int(w),
+                }
+            )
+            for j in np.nonzero(pvalid[i])[0]:
+                cx, cy = pts[i, j] * (w, h)
+                bw, bh = pred_wh[i, j] * (w, h)
+                annotations.append(
+                    {
+                        "id": ann_id,
+                        "image_id": img_id,
+                        "area": int(bw * bh),
+                        "bbox": [int(cx), int(cy), int(bw), int(bh)],
+                        "category_id": 1,
+                        "iscrowd": 0,
+                    }
+                )
+                ann_id += 1
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    write_coco(out_path, images, annotations, box_format="cxcywh")
+    return out_path
+
+
+def infer_detections(
+    forward, params, dataset, cfg: Config, out_path: Optional[str], mesh=None
+):
+    """Stage-2 inference with adaptive-threshold counting (reference
+    2nd-stage engine.py:70-175). Returns per-image results and writes the
+    predictions JSON (box_format cxcywh, pixel units, like the reference)."""
+    batcher = Batcher(
+        dataset,
+        cfg.data.batch_size,
+        cfg.data.buckets,
+        max_boxes=cfg.data.max_boxes,
+        max_points=cfg.data.max_points,
+    )
+    images: List[Dict] = []
+    annotations: List[Dict] = []
+    results: List[Dict] = []
+    ann_id = 1
+    for batch in prefetch(iter(batcher)):
+        meta = batch["meta"]
+        db = shard_batch(
+            {k: v for k, v in batch.items() if k not in ("meta", "bucket")}, mesh
+        ) if mesh is not None else batch
+        out = forward(params, db["images"], db["pad_mask"], db["exemplar_boxes"])
+        logits = np.asarray(out["pred_logits"])
+        boxes = np.asarray(out["pred_boxes"])
+        refs = np.asarray(out["reference_points"])
+        bvalid = np.asarray(batch["batch_valid"])
+        pts_valid = np.asarray(batch.get("points_valid")) if "points_valid" in batch else None
+        prob = 1.0 / (1.0 + np.exp(-logits[..., 0]))  # class-0 sigmoid
+        for i, m in enumerate(meta):
+            if not bvalid[i]:
+                continue
+            w, h = m["orig_size"]
+            keep, thr = adaptive_threshold_counting(prob[i])
+            img_id = m.get("image_id", len(images) + 1)
+            images.append(
+                {
+                    "id": img_id,
+                    "file_name": m.get("image_name", "None"),
+                    "height": int(h),
+                    "width": int(w),
+                }
+            )
+            kept_boxes = boxes[i][keep] * (w, h, w, h)
+            kept_scores = prob[i][keep]
+            kept_refs = refs[i][keep] * (w, h)
+            for s, b, r in zip(kept_scores, kept_boxes, kept_refs):
+                annotations.append(
+                    {
+                        "id": ann_id,
+                        "image_id": img_id,
+                        "area": int(b[2] * b[3]),
+                        "bbox": [int(b[0]), int(b[1]), int(b[2]), int(b[3])],
+                        "category_id": 1,
+                        "score": float(s),
+                        "point": [int(r[0]), int(r[1])],
+                    }
+                )
+                ann_id += 1
+            results.append(
+                {
+                    "image_id": img_id,
+                    "image_name": m.get("image_name"),
+                    "count_pred": int(keep.sum()),
+                    "count_gt": int(pts_valid[i].sum()) if pts_valid is not None else None,
+                    "threshold": thr,
+                    "boxes_cxcywh_px": kept_boxes,
+                    "scores": kept_scores,
+                }
+            )
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        write_coco(out_path, images, annotations, box_format="cxcywh")
+    return results
+
+
+def counting_summary(results: List[Dict]) -> Dict[str, float]:
+    gts = [r["count_gt"] for r in results if r["count_gt"] is not None]
+    preds = [r["count_pred"] for r in results if r["count_gt"] is not None]
+    if not gts:
+        return {}
+    return counting_metrics(gts, preds)

@@ -1,0 +1,151 @@
+"""jit/pjit train and eval steps for both stages.
+
+Each step is ONE XLA program: forward, (stage 2) on-device auction matching,
+loss, backward, clipped AdamW update. No host round-trips — the reference's
+per-step scipy matcher and .item() logging (reference engine.py:63,
+matcher.py:243-246) are the two hot-loop host syncs this design removes.
+
+Data parallelism: the caller shards batches over the mesh 'data' axis
+(core/mesh.py) and jit partitions the step; gradient reduction and the
+global num_boxes normalization (reference's all_reduce, anchor_detr.py:321-325)
+become XLA collectives automatically because losses are computed over the
+globally-sharded batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from countdetr_tpu.config import Config
+from countdetr_tpu.ops import losses as loss_ops
+from countdetr_tpu.ops import matching
+from countdetr_tpu.ops.losses import MatchedTargets
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_state(params, tx) -> TrainState:
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def stage1_loss(model, params, batch, cfg: Config):
+    out = model.apply(
+        params,
+        batch["images"],
+        batch["pad_mask"],
+        batch["points"],
+        batch["points_valid"],
+    )
+    parts = loss_ops.stage1_criterion(
+        out["pred_wh"], batch["points"], batch["whs"], batch["points_valid"]
+    )
+    t = cfg.train
+    total = t.wh_loss_coef * parts["loss_wh"] + t.stage1_giou_coef * parts["loss_giou"]
+    parts["loss"] = total
+    return total, parts
+
+
+def stage2_loss(model, params, batch, cfg: Config):
+    out = model.apply(
+        params,
+        batch["images"],
+        batch["pad_mask"],
+        exemplar_boxes=batch["exemplar_boxes"],
+    )
+    t = cfg.train
+    cost = loss_ops.stage2_cost_matrix(
+        jax.lax.stop_gradient(out["pred_logits"]),
+        jax.lax.stop_gradient(out["pred_boxes"]),
+        batch["boxes"],
+        batch["labels"],
+        cost_class=t.set_cost_class,
+        cost_bbox=t.set_cost_bbox,
+        cost_giou=t.set_cost_giou,
+    )
+    tgt2query = matching.batched_match(cost, batch["boxes_valid"])
+    parts = loss_ops.stage2_criterion(
+        out["pred_logits"],
+        out["pred_boxes"],
+        out["pred_vars"],
+        batch["boxes"],
+        batch["labels"],
+        MatchedTargets(tgt2query, batch["boxes_valid"]),
+        focal_alpha=t.focal_alpha,
+        batch_valid=batch.get("batch_valid"),
+    )
+    total = (
+        t.cls_loss_coef * parts["loss_ce"]
+        + t.bbox_loss_coef * parts["loss_bbox"]
+        + t.giou_loss_coef * parts["loss_giou"]
+        + t.variance_loss_coef * parts["loss_variance"]
+    )
+    parts["loss"] = total
+    return total, parts
+
+
+def _prepare_stage2_batch(batch: Dict) -> Dict:
+    if "labels" not in batch:
+        batch = dict(batch)
+        batch["labels"] = jnp.zeros(batch["boxes"].shape[:2], dtype=jnp.int32)
+    return batch
+
+
+def make_train_step(model, tx, cfg: Config):
+    loss_fn = stage1_loss if cfg.model.stage == 1 else stage2_loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        if cfg.model.stage == 2:
+            batch = _prepare_stage2_batch(batch)
+
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(model, p, batch, cfg), has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg: Config):
+    loss_fn = stage1_loss if cfg.model.stage == 1 else stage2_loss
+
+    @jax.jit
+    def eval_step(params, batch) -> Dict:
+        if cfg.model.stage == 2:
+            batch = _prepare_stage2_batch(batch)
+        _, metrics = loss_fn(model, params, batch, cfg)
+        return metrics
+
+    return eval_step
+
+
+def make_forward(model, cfg: Config):
+    """jitted inference forward (stage-dependent signature)."""
+
+    if cfg.model.stage == 1:
+
+        @jax.jit
+        def forward(params, images, pad_mask, points, points_valid):
+            return model.apply(params, images, pad_mask, points, points_valid)
+
+    else:
+
+        @jax.jit
+        def forward(params, images, pad_mask, exemplar_boxes):
+            return model.apply(
+                params, images, pad_mask, exemplar_boxes=exemplar_boxes
+            )
+
+    return forward

@@ -1,0 +1,67 @@
+"""Synthetic FSCD-LVIS-format dataset (schemas from reference
+CountDETR_lvis_1st_stage/datasets/fscd_lvis.py:11-60)."""
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def make_fscd_lvis(root: str, n_per_split=4, size=(96, 128), seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "images", "all_images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+
+    H, W = size
+    next_id, ann_id = 1, 1
+    for split in ("train", "val", "test"):
+        images, annotations, count_annos = [], [], []
+        for _ in range(n_per_split):
+            name = f"lvis_{next_id}.jpg"
+            img = np.zeros((H, W, 3), dtype=np.uint8) + 20
+            n_obj = int(rng.integers(3, 7))
+            boxes = []
+            ow, oh = int(rng.integers(10, 16)), int(rng.integers(8, 14))
+            for _ in range(n_obj):
+                cx = int(rng.integers(ow, W - ow))
+                cy = int(rng.integers(oh, H - oh))
+                x1, y1 = cx - ow // 2, cy - oh // 2
+                img[y1 : y1 + oh, x1 : x1 + ow] = [90, 180, 70]
+                boxes.append([float(x1), float(y1), float(ow), float(oh)])
+            Image.fromarray(img).save(
+                os.path.join(root, "images", "all_images", name), quality=95
+            )
+            images.append(
+                {"id": next_id, "file_name": name, "height": H, "width": W}
+            )
+            for b in boxes:
+                annotations.append(
+                    {
+                        "id": ann_id,
+                        "image_id": next_id,
+                        "bbox": b,
+                        "area": b[2] * b[3],
+                        "category_id": 1,
+                        "iscrowd": 0,
+                    }
+                )
+                ann_id += 1
+            count_annos.append({"image_id": next_id, "boxes": boxes[:3]})
+            next_id += 1
+        with open(
+            os.path.join(root, "annotations", f"instances_{split}.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "images": images,
+                    "annotations": annotations,
+                    "categories": [{"name": "fg", "id": 1}],
+                },
+                f,
+            )
+        with open(
+            os.path.join(root, "annotations", f"count_{split}.json"), "w"
+        ) as f:
+            json.dump({"annotations": count_annos}, f)
+    return root

@@ -1,0 +1,128 @@
+"""End-to-end train-step tests on tiny models: loss decreases, grads flow to
+the right params, frozen params stay frozen."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from countdetr_tpu import config as cfglib
+from countdetr_tpu.models import CountingDetr
+from countdetr_tpu.train.optimizer import build_optimizer, _label
+from countdetr_tpu.train.train_step import create_state, make_train_step
+
+
+def _tiny(model_cfg):
+    return model_cfg.replace(
+        enc_layers=1, dec_layers=1, hidden_dim=32, nheads=4, dim_feedforward=64
+    )
+
+
+def _stage1_batch(rng, B=2, H=64, W=64, P=3):
+    return {
+        "images": jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "pad_mask": jnp.zeros((B, H, W), dtype=bool),
+        "points": jnp.array(rng.uniform(0.2, 0.8, (B, P, 2)).astype(np.float32)),
+        "points_valid": jnp.ones((B, P), dtype=bool),
+        "whs": jnp.array(rng.uniform(0.1, 0.3, (B, P, 2)).astype(np.float32)),
+    }
+
+
+def test_stage1_train_step_loss_decreases(rng):
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(model=_tiny(cfg.model), train=cfg.train.replace(lr=1e-3))
+    model = CountingDetr(cfg.model)
+    batch = _stage1_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=100)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+
+    state, m0 = step(state, batch)
+    losses = [float(m0["loss"])]
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_stage1_frozen_params_do_not_move(rng):
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(model=_tiny(cfg.model))
+    model = CountingDetr(cfg.model)
+    batch = _stage1_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=100)
+    # train_step donates its state: snapshot params to host numpy first
+    params_before = jax.tree_util.tree_map(np.asarray, params)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+    # two steps: the bbox head is zero-init (reference transformer.py:90-91),
+    # so upstream gradients are exactly zero on the very first step
+    new_state, _ = step(state, batch)
+    new_state, _ = step(new_state, batch)
+
+    flat0 = jax.tree_util.tree_flatten_with_path(params_before)[0]
+    flat1 = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    }
+    moved_frozen, moved_backbone, moved_main = [], 0, 0
+    for path, v0 in flat0:
+        label = _label(path)
+        v1 = flat1[jax.tree_util.keystr(path)]
+        changed = not np.allclose(np.asarray(v0), np.asarray(v1))
+        if label == "frozen" and changed:
+            moved_frozen.append(jax.tree_util.keystr(path))
+        moved_backbone += changed and label == "backbone"
+        moved_main += changed and label == "main"
+    assert not moved_frozen, moved_frozen[:5]
+    assert moved_backbone > 0
+    assert moved_main > 0
+
+
+def test_stage2_train_step(rng):
+    cfg = cfglib.stage2_config()
+    cfg = cfg.replace(
+        model=_tiny(cfg.model).replace(num_query_position=16),
+        train=cfg.train.replace(lr=1e-3),
+    )
+    model = CountingDetr(cfg.model)
+    B, H, W, T, K = 2, 64, 64, 5, 3
+    boxes = rng.uniform(0.2, 0.7, (B, T, 4)).astype(np.float32)
+    boxes[..., 2:] = np.clip(boxes[..., 2:], 0.05, 0.25)
+    rects = rng.uniform(0.1, 0.6, (B, K, 4)).astype(np.float32)
+    rects[..., 2:] = rects[..., :2] + 0.15
+    bvalid = np.ones((B, T), dtype=bool)
+    bvalid[1, 3:] = False
+    batch = {
+        "images": jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "pad_mask": jnp.zeros((B, H, W), dtype=bool),
+        "boxes": jnp.array(boxes),
+        "boxes_valid": jnp.array(bvalid),
+        "exemplar_boxes": jnp.array(rects),
+        "batch_valid": jnp.ones((B,), dtype=bool),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        exemplar_boxes=batch["exemplar_boxes"],
+    )
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=100)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+
+    state, m0 = step(state, batch)
+    for k in ("loss", "loss_ce", "loss_bbox", "loss_giou", "loss_variance"):
+        assert np.isfinite(float(m0[k])), k
+    losses = [float(m0["loss"])]
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
