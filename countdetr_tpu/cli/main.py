@@ -266,6 +266,15 @@ def main(args):
             print(f"wrote {out}")
         return
 
+    if args.test and cfg.model.stage == 1:
+        # stage-1 test mode: GT box centers as anchors, top-100 emission
+        # (reference 1st-stage engine.py:190-265)
+        ds = build_dataset(args.dataset_file + "_test", "test", cfg)
+        out = os.path.join(args.output_dir, "pseudo_test_anchor_detr_v3.json")
+        engine.stage1_test(forward, params, ds, cfg, out, mesh)
+        print(f"wrote {out}")
+        return
+
     if args.infer or args.test:
         from countdetr_tpu.cli.offline_eval import evaluate_results
 

@@ -40,7 +40,10 @@ def adaptive_threshold_counting(
     return object_prob >= threshold, threshold
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k",))
 def topk_postprocess(
     pred_logits: jnp.ndarray,  # (B, Q, C)
     pred_boxes: jnp.ndarray,  # (B, Q, 4) cxcywh normalized

@@ -57,17 +57,20 @@ class MaskedGroupNorm(nn.Module):
         G = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        xg = x.reshape(B, H, W, G, C // G)
+        # statistics always in fp32 (bf16 accumulation over H*W*C/G elements
+        # loses too much precision)
+        xg = x.reshape(B, H, W, G, C // G).astype(jnp.float32)
         if valid is None:
             mean = xg.mean(axis=(1, 2, 4), keepdims=True)
             var = jnp.square(xg - mean).mean(axis=(1, 2, 4), keepdims=True)
         else:
-            v = valid[..., None, None].astype(x.dtype)  # (B,H,W,1,1)
+            v = valid[..., None, None].astype(jnp.float32)  # (B,H,W,1,1)
             n = jnp.maximum(v.sum(axis=(1, 2, 3, 4), keepdims=True), 1.0) * (C // G)
             mean = (xg * v).sum(axis=(1, 2, 4), keepdims=True) / n
             var = (jnp.square(xg - mean) * v).sum(axis=(1, 2, 4), keepdims=True) / n
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return xg.reshape(B, H, W, C) * scale + bias
+        out = xg.reshape(B, H, W, C) * scale + bias
+        return out.astype(x.dtype)
 
 
 class InputProj(nn.Module):
@@ -123,9 +126,12 @@ class CountingDetr(nn.Module):
     ):
         cfg = self.cfg
 
-        feats = ResNetBackbone(dilation=cfg.dilation, name="backbone")(
-            images, pad_mask
-        )
+        dt = jnp.dtype(cfg.compute_dtype)
+        feats = ResNetBackbone(
+            dilation=cfg.dilation,
+            dtype=None if dt == jnp.float32 else dt,
+            name="backbone",
+        )(images, pad_mask)
         feat = feats[-1]
         h, w = feat.shape[1], feat.shape[2]
         fmask = downsample_mask(pad_mask, h, w)

@@ -37,7 +37,10 @@ import jax.numpy as jnp
 
 
 class FrozenBatchNorm(nn.Module):
-    """y = x * weight/sqrt(var+eps) + (bias - mean*weight/sqrt(var+eps))."""
+    """y = x * weight/sqrt(var+eps) + (bias - mean*weight/sqrt(var+eps)).
+
+    The affine factors are always computed in fp32; the elementwise apply
+    happens in the activation dtype (bf16 under the production policy)."""
 
     features: int
     eps: float = 1e-5
@@ -49,10 +52,11 @@ class FrozenBatchNorm(nn.Module):
         rm = self.param("running_mean", nn.initializers.zeros, (self.features,))
         rv = self.param("running_var", nn.initializers.ones, (self.features,))
         scale = w * jnp.reciprocal(jnp.sqrt(rv + self.eps))
-        return x * scale + (b - rm * scale)
+        bias = b - rm * scale
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
-def _conv(features, kernel, stride=1, dilation=1, name=None):
+def _conv(features, kernel, stride=1, dilation=1, name=None, dtype=None):
     pad = (kernel // 2) * dilation
     return nn.Conv(
         features=features,
@@ -62,6 +66,7 @@ def _conv(features, kernel, stride=1, dilation=1, name=None):
         kernel_dilation=(dilation, dilation),
         use_bias=False,
         name=name,
+        dtype=dtype,
     )
 
 
@@ -79,23 +84,26 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, valid=None):
         identity = x
-        out = _conv(self.planes, 1, name="conv1")(x)
+        out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
         # re-zero padding so the spatial conv's receptive field matches the
         # unpadded image exactly (valid is at this input resolution)
         out = _apply_valid(out, valid)
-        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2",
+                    dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.downsample:
-            identity = _conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
+            identity = _conv(self.planes * 4, 1, self.stride,
+                             name="downsample_conv", dtype=self.dtype)(x)
             identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -110,11 +118,14 @@ class ResNetBackbone(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     dilation: bool = True  # DC5
     return_interm: bool = False
+    dtype: object = None  # compute dtype for convs (e.g. jnp.bfloat16)
 
     @nn.compact
     def __call__(
         self, x, pad_mask: Optional[jnp.ndarray] = None
     ) -> Tuple[jnp.ndarray, ...]:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         # valid masks at each feature resolution the spatial convs see
         def valid_at(h, w):
             if pad_mask is None:
@@ -123,7 +134,7 @@ class ResNetBackbone(nn.Module):
 
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
-            name="conv1",
+            name="conv1", dtype=self.dtype,
         )(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
@@ -148,6 +159,7 @@ class ResNetBackbone(nn.Module):
                     stride=stride if i == 0 else 1,
                     dilation=first_dil if i == 0 else rest_dil,
                     downsample=(i == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}",
                 )(x, v)
             feats.append(x)

@@ -62,7 +62,7 @@ class TorchLinear(nn.Module):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         w = self.param("weight", w_init, (self.features, fan_in))
-        y = x @ w.T
+        y = x @ w.T.astype(x.dtype)
         if self.use_bias:
 
             def b_init(key, shape, dtype=jnp.float32):
@@ -71,7 +71,7 @@ class TorchLinear(nn.Module):
                 bound = 1.0 / math.sqrt(fan_in)
                 return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-            y = y + self.param("bias", b_init, (self.features,))
+            y = y + self.param("bias", b_init, (self.features,)).astype(x.dtype)
         return y
 
 
@@ -129,15 +129,22 @@ class RCDAAttention(nn.Module):
     @nn.compact
     def __call__(self, query_row, query_col, key_row, key_col, value, key_padding_mask=None):
         E = self.d_model
+        dt = query_row.dtype
         params = rcda_ops.RCDAParams(
-            in_proj_weight=self.param("in_proj_weight", _xavier_uniform_rows, (5 * E, E)),
-            in_proj_bias=self.param("in_proj_bias", nn.initializers.zeros, (5 * E,)),
+            in_proj_weight=self.param(
+                "in_proj_weight", _xavier_uniform_rows, (5 * E, E)
+            ).astype(dt),
+            in_proj_bias=self.param(
+                "in_proj_bias", nn.initializers.zeros, (5 * E,)
+            ).astype(dt),
             out_proj_weight=self.param(
                 "out_proj_weight",
                 lambda k, s, d=jnp.float32: _kaiming_uniform(k, s, d),
                 (E, E),
-            ),
-            out_proj_bias=self.param("out_proj_bias", nn.initializers.zeros, (E,)),
+            ).astype(dt),
+            out_proj_bias=self.param(
+                "out_proj_bias", nn.initializers.zeros, (E,)
+            ).astype(dt),
         )
         return rcda_ops.rcda_attention(
             query_row, query_col, key_row, key_col, value,
@@ -163,10 +170,11 @@ class MHAttention(nn.Module):
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None):
         E = self.d_model
-        w = self.param("in_proj_weight", _xavier_uniform_rows, (3 * E, E))
-        b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
-        ow = self.param("out_proj_weight", _kaiming_uniform, (E, E))
-        ob = self.param("out_proj_bias", nn.initializers.zeros, (E,))
+        dt = query.dtype
+        w = self.param("in_proj_weight", _xavier_uniform_rows, (3 * E, E)).astype(dt)
+        b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,)).astype(dt)
+        ow = self.param("out_proj_weight", _kaiming_uniform, (E, E)).astype(dt)
+        ob = self.param("out_proj_bias", nn.initializers.zeros, (E,)).astype(dt)
         return rcda_ops.mha_attention(
             query, key, value, w, b, ow, ob, self.num_heads, key_padding_mask
         )
@@ -184,7 +192,7 @@ class FFN(nn.Module):
         h = nn.relu(h)
         h = TorchLinear(self.d_model, name="linear2")(h)
         x = x + h
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name="norm2")(x)
 
 
 class EncoderLayer(nn.Module):
@@ -221,7 +229,7 @@ class EncoderLayer(nn.Module):
             ).reshape(B, H, W, C)
 
         src = src + src2
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=src.dtype, name="norm1")(src)
         return FFN(self.d_model, self.d_ffn, name="ffn")(src)
 
 
@@ -256,7 +264,7 @@ class DecoderLayer(nn.Module):
             q, k, tgt, key_padding_mask=q_pad
         )
         tgt = tgt + tgt2
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm2")(tgt)
 
         if self.attention_type == "RCDA":
             k_row = src + posemb_row[:, None, :, :]
@@ -276,7 +284,7 @@ class DecoderLayer(nn.Module):
                 key_padding_mask=pad_mask.reshape(B, H * W),
             )
         tgt = tgt + tgt2
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm1")(tgt)
         return FFN(self.d_model, self.d_ffn, name="ffn")(tgt)
 
 
@@ -303,6 +311,8 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, src, pad_mask, reference_points, query_valid=None):
         cfg = self.cfg
+        dt = jnp.dtype(cfg.compute_dtype)
+        src = src.astype(dt)
         B, H, W, C = src.shape
         P = reference_points.shape[1]
         npat = cfg.num_query_pattern
@@ -314,7 +324,7 @@ class Transformer(nn.Module):
             "pattern", nn.initializers.normal(1.0), (npat, cfg.hidden_dim)
         )
         tgt = jnp.broadcast_to(
-            pattern[None, :, None, :], (B, npat, P, cfg.hidden_dim)
+            pattern[None, :, None, :].astype(dt), (B, npat, P, cfg.hidden_dim)
         ).reshape(B, L, cfg.hidden_dim)
         ref = jnp.tile(reference_points, (1, npat, 1))  # (B, L, 2)
         qvalid = None if query_valid is None else jnp.tile(query_valid, (1, npat))
@@ -324,8 +334,8 @@ class Transformer(nn.Module):
 
         pos_col, pos_row = mask2pos(pad_mask)  # (B, H), (B, W)
         if cfg.attention_type == "RCDA":
-            posemb_row = adapt_pos1d(pos2posemb1d(pos_row, cfg.hidden_dim))
-            posemb_col = adapt_pos1d(pos2posemb1d(pos_col, cfg.hidden_dim))
+            posemb_row = adapt_pos1d(pos2posemb1d(pos_row, cfg.hidden_dim).astype(dt))
+            posemb_col = adapt_pos1d(pos2posemb1d(pos_col, cfg.hidden_dim).astype(dt))
             posemb_2d = None
         else:
             pos2d = jnp.stack(
@@ -335,7 +345,7 @@ class Transformer(nn.Module):
                 ],
                 axis=-1,
             )
-            posemb_2d = adapt_pos2d(pos2posemb2d(pos2d, cfg.hidden_dim // 2))
+            posemb_2d = adapt_pos2d(pos2posemb2d(pos2d, cfg.hidden_dim // 2).astype(dt))
             posemb_row = posemb_col = None
 
         x = src
@@ -345,10 +355,10 @@ class Transformer(nn.Module):
                 cfg.attention_type, cfg.use_pallas_rcda, name=f"encoder_{i}",
             )(x, pad_mask, posemb_row, posemb_col, posemb_2d)
 
-        query_pos = adapt_pos2d(pos2posemb2d(ref, cfg.hidden_dim // 2))
+        query_pos = adapt_pos2d(pos2posemb2d(ref, cfg.hidden_dim // 2).astype(dt))
         if cfg.attention_type == "RCDA":
-            query_pos_x = adapt_pos1d(pos2posemb1d(ref[..., 0], cfg.hidden_dim))
-            query_pos_y = adapt_pos1d(pos2posemb1d(ref[..., 1], cfg.hidden_dim))
+            query_pos_x = adapt_pos1d(pos2posemb1d(ref[..., 0], cfg.hidden_dim).astype(dt))
+            query_pos_y = adapt_pos1d(pos2posemb1d(ref[..., 1], cfg.hidden_dim).astype(dt))
         else:
             query_pos_x = query_pos_y = None
 
@@ -382,12 +392,12 @@ class Transformer(nn.Module):
                 out, query_pos, query_pos_x, query_pos_y, x, pad_mask,
                 posemb_row, posemb_col, qvalid, posemb_2d,
             )
-            classes.append(cls_embed(out))
-            delta = bbox_embed(out) + wh_bias
+            classes.append(cls_embed(out).astype(jnp.float32))
+            delta = bbox_embed(out).astype(jnp.float32) + wh_bias
             delta = delta.at[..., :2].add(ref_logit)
             coords.append(nn.sigmoid(delta))
             if cfg.with_variance_head:
-                variances.append(bbox_variance(out))
+                variances.append(bbox_variance(out).astype(jnp.float32))
 
         result = {
             "cls": jnp.stack(classes),  # (D, B, L, num_classes)

@@ -154,3 +154,48 @@ def scipy_match(cost, tgt_valid) -> Tuple:
         rows, cols = linear_sum_assignment(cost[b][:, t_idx])
         out[b, t_idx[cols]] = rows.astype(np.int32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Alternate matchers (reference 2nd-stage matcher.py:11-172 keeps these as
+# selectable strategies: point-L1 Hungarian, EMD/Chamfer point distances,
+# argmin-both-ways Chamfer matching). All jit-compatible.
+# ---------------------------------------------------------------------------
+
+
+def point_cost_matrix(pred_boxes, tgt_boxes, point_cost=2.0, giou_cost=2.0):
+    """Center-distance + GIoU cost (reference ChamferDistanceMatching /
+    PointHungarianMatcher cost, matcher.py:150-166). Shapes like
+    stage2_cost_matrix: (B, Q, 4), (B, T, 4) -> (B, Q, T)."""
+    from countdetr_tpu.ops import boxes as box_ops
+
+    l1 = jnp.abs(
+        pred_boxes[:, :, None, :2] - tgt_boxes[:, None, :, :2]
+    ).sum(-1)
+    giou = box_ops.generalized_box_iou_pairwise(
+        box_ops.box_cxcywh_to_xyxy(pred_boxes),
+        box_ops.box_cxcywh_to_xyxy(tgt_boxes),
+    )
+    return point_cost * l1 + giou_cost * (-giou)
+
+
+def chamfer_match(cost: jnp.ndarray):
+    """Argmin both ways (reference ChamferDistanceMatching, matcher.py:168-171):
+    returns (best query per target (B, T), best target per query (B, Q))."""
+    return jnp.argmin(cost, axis=1), jnp.argmin(cost, axis=2)
+
+
+def chamfer_point_distance(pred_pts, tgt_pts, tgt_valid=None):
+    """Symmetric Chamfer distance between point sets (the reference's
+    PointsDistance 'chamfer' mode, matcher.py:66-137).
+    pred_pts (B, N, 2), tgt_pts (B, M, 2) -> (B,)."""
+    d = jnp.square(pred_pts[:, :, None, :] - tgt_pts[:, None, :, :]).sum(-1)
+    if tgt_valid is not None:
+        big = jnp.float32(1e9)
+        d = jnp.where(tgt_valid[:, None, :], d, big)
+        fwd = d.min(axis=2).mean(axis=1)  # pred -> nearest tgt
+        bwd_all = d.min(axis=1)  # (B, M)
+        nv = jnp.maximum(tgt_valid.sum(axis=1), 1)
+        bwd = jnp.where(tgt_valid, bwd_all, 0.0).sum(axis=1) / nv
+        return fwd + bwd
+    return d.min(axis=2).mean(axis=1) + d.min(axis=1).mean(axis=1)

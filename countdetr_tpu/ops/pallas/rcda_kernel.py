@@ -3,27 +3,32 @@
 What it fuses (reference row_column_decoupled_attention.py:184-245): the two
 1-D attention score matmuls, both softmaxes, and the two-stage combine
   out[l] = sum_h a_col[l,h] * (sum_w a_row[l,w] * v[h,w,:])
-into one VMEM-resident pass, blocked over the query axis.
+into one VMEM-resident pass per (batch, head, query-block) program.
 
 Why: the jnp/einsum fallback (ops/rcda.py) materializes the (B, n, L, H, d)
 intermediate in HBM — ~52 MB per image at the 600px eval geometry
-(L=1369, H=W=37, n=8, d=32) per encoder layer. Here each (batch, L-block)
-program holds only (BLOCK_L, H, d) per head in VMEM (~1.2 MB), so the op is
-compute-bound on the MXU instead of HBM-bound.
+(L=1369, H=W=37, n=8, d=32) per encoder layer. Here that intermediate only
+ever exists as a (BLOCK_L, H*d) VMEM tile.
 
-The in/out projections stay in XLA (plain matmuls it already schedules
-optimally); this kernel takes pre-projected, pre-scaled q and pre-axis-mean
-k, exactly the tensors the fallback computes at the same point.
+Mosaic constraints shape the design (first attempt used a 3-D-rhs
+dot_general, which lowers to an unsupported in-kernel reshape):
+  * every dot is strictly 2-D;
+  * no in-kernel reshapes that merge/split unaligned trailing dims —
+    the head split and the (W, H*d) value flattening happen OUTSIDE the
+    kernel in XLA, where layout changes are free to fuse;
+  * the head-weighted combine sum_h a_col[l,h] * hid[l, h*d:(h+1)*d] is a
+    lane-repeat (pltpu.repeat) + elementwise product + one dot with a
+    constant 0/1 fold matrix S[h*d+j, j'] = [j == j'], instead of a
+    strided segment reduction.
 
-Inputs
+Inputs (pre-projected, exactly what the fallback computes at this point):
   q_row, q_col : (B, L, E)   pre-scaled by d**-0.5
   k_row        : (B, W, E)   axis-meaned key rows
   k_col        : (B, H, E)
   v            : (B, H, W, E)
   bias_row     : (B, W)      additive mask (0 valid / -1e30 padded)
   bias_col     : (B, H)
-Returns (B, L, E), bitwise-equivalent (up to fp reassociation) to the
-fallback — tested against it in tests/test_pallas_rcda.py.
+Returns (B, L, E); matches the einsum oracle (tests/test_pallas_rcda.py).
 """
 
 from __future__ import annotations
@@ -37,52 +42,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _rcda_kernel(
-    q_row_ref, q_col_ref, k_row_ref, k_col_ref, v_ref, bias_row_ref, bias_col_ref,
-    out_ref, *, num_heads: int,
+    q_row_ref,  # (1, 1, BL, d)
+    q_col_ref,  # (1, 1, BL, d)
+    k_row_ref,  # (1, 1, W, d)
+    k_col_ref,  # (1, 1, H, d)
+    v_ref,      # (1, 1, W, H*d)  value, head-sliced + (h, d)-flattened
+    bias_row_ref,  # (1, 1, W)
+    bias_col_ref,  # (1, 1, H)
+    fold_ref,   # (H*d, d) constant 0/1 fold matrix
+    out_ref,    # (1, 1, BL, d)
+    *,
+    head_dim: int,
 ):
-    E = q_row_ref.shape[-1]
-    d = E // num_heads
-    H = k_col_ref.shape[1]
-    W = k_row_ref.shape[1]
+    d = head_dim
+    qr = q_row_ref[0, 0]  # (BL, d)
+    qc = q_col_ref[0, 0]
+    kr = k_row_ref[0, 0]  # (W, d)
+    kc = k_col_ref[0, 0]  # (H, d)
+    vf = v_ref[0, 0]  # (W, H*d)
+    bias_row = bias_row_ref[0, 0]  # (W,)
+    bias_col = bias_col_ref[0, 0]  # (H,)
 
-    bias_row = bias_row_ref[0, :]  # (W,)
-    bias_col = bias_col_ref[0, :]  # (H,)
+    s_row = (
+        jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + bias_row[None, :]
+    )  # (BL, W)
+    s_col = (
+        jax.lax.dot_general(
+            qc, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + bias_col[None, :]
+    )  # (BL, H)
+    a_row = jax.nn.softmax(s_row, axis=-1).astype(vf.dtype)
+    a_col = jax.nn.softmax(s_col, axis=-1)  # fp32
 
-    for h in range(num_heads):
-        sl = slice(h * d, (h + 1) * d)
-        qr = q_row_ref[0, :, sl]  # (BL, d)
-        qc = q_col_ref[0, :, sl]
-        kr = k_row_ref[0, :, sl]  # (W, d)
-        kc = k_col_ref[0, :, sl]  # (H, d)
-        vh = v_ref[0, :, :, sl]  # (H, W, d)
+    # hid[l, j*H + h] = sum_w a_row[l, w] v[h, w, j]
+    hid = jax.lax.dot_general(
+        a_row, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BL, H*d)
 
-        s_row = (
-            jax.lax.dot_general(
-                qr, kr,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bias_row[None, :]
-        )  # (BL, W)
-        s_col = (
-            jax.lax.dot_general(
-                qc, kc,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bias_col[None, :]
-        )  # (BL, H)
-        a_row = jax.nn.softmax(s_row, axis=-1)
-        a_col = jax.nn.softmax(s_col, axis=-1)
-
-        # hid[l, h', :] = sum_w a_row[l, w] v[h', w, :]
-        hid = jax.lax.dot_general(
-            a_row, vh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (BL, H, d)
-        out_h = jnp.sum(a_col[:, :, None] * hid, axis=1)  # (BL, d)
-        out_ref[0, :, sl] = out_h.astype(out_ref.dtype)
+    # out[l, j] = sum_h a_col[l, h] * hid[l, j*H + h]
+    a_col_exp = pltpu.repeat(a_col, d, axis=1)  # (BL, H*d)
+    prod = (hid * a_col_exp).astype(vf.dtype)
+    out = jax.lax.dot_general(
+        prod, fold_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BL, d)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "block_l"))
@@ -99,30 +107,53 @@ def fused_rcda(
 ) -> jnp.ndarray:
     B, L, E = q_row.shape
     H, W = v.shape[1], v.shape[2]
+    n = num_heads
+    d = E // n
     bl = min(block_l, L)
-    grid = (B, pl.cdiv(L, bl))
 
-    return pl.pallas_call(
-        functools.partial(_rcda_kernel, num_heads=num_heads),
+    # head split + value flatten in XLA (free layout changes)
+    def split_heads(x):  # (B, S, E) -> (B, n, S, d)
+        return x.reshape(B, -1, n, d).transpose(0, 2, 1, 3)
+
+    qrh = split_heads(q_row)
+    qch = split_heads(q_col)
+    krh = split_heads(k_row)
+    kch = split_heads(k_col)
+    # v: (B, H, W, E) -> (B, n, W, d*H) with flat index j*H + h. The (d, H)
+    # order (not (H, d)) matches pltpu.repeat's TILE semantics: repeating
+    # a_col (BL, H) d times along lanes yields index j*H + h -> a_col[l, h].
+    vt = v.reshape(B, H, W, n, d).transpose(0, 3, 2, 4, 1).reshape(B, n, W, d * H)
+
+    # constant fold matrix S[j*H + h, j'] = 1 if j == j'
+    fold = jnp.repeat(jnp.eye(d, dtype=v.dtype), H, axis=0)  # (d*H, d)
+
+    grid = (B, n, pl.cdiv(L, bl))
+
+    out = pl.pallas_call(
+        functools.partial(_rcda_kernel, head_dim=d),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bl, E), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bl, E), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, E), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, E), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, H, W, E), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, W), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bl, d), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bl, d), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, d), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, d), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, H * d), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda b, h, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, h, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H * d, d), lambda b, h, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bl, E), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, 1, bl, d), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, L, E), q_row.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n, L, d), q_row.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * E * (H + W) + 2 * B * L * H * W * E,
+            flops=2 * B * L * E * (H + W) + 4 * B * L * H * W * E,
             bytes_accessed=4 * B * (2 * L * E + (H + W) * E + H * W * E + L * E),
-            transcendentals=B * L * (H + W),
+            transcendentals=B * n * L * (H + W),
         ),
-    )(q_row, q_col, k_row, k_col, v, bias_row, bias_col)
+    )(
+        qrh, qch, krh, kch, vt,
+        bias_row[:, None, :], bias_col[:, None, :], fold,
+    )
+    # (B, n, L, d) -> (B, L, E)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, E)

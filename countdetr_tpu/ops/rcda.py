@@ -56,10 +56,14 @@ def _rcda_core_einsum(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_hea
     kr, kc = heads(k_row), heads(k_col)
     vh = heads(v)
 
-    attn_row = jnp.einsum("blnd,bwnd->bnlw", qr, kr) + bias_row[:, None, None, :]
-    attn_col = jnp.einsum("blnd,bhnd->bnlh", qc, kc) + bias_col[:, None, None, :]
-    attn_row = jax.nn.softmax(attn_row, axis=-1)
-    attn_col = jax.nn.softmax(attn_col, axis=-1)
+    attn_row = jnp.einsum(
+        "blnd,bwnd->bnlw", qr, kr, preferred_element_type=jnp.float32
+    ) + bias_row[:, None, None, :]
+    attn_col = jnp.einsum(
+        "blnd,bhnd->bnlh", qc, kc, preferred_element_type=jnp.float32
+    ) + bias_col[:, None, None, :]
+    attn_row = jax.nn.softmax(attn_row, axis=-1).astype(v.dtype)
+    attn_col = jax.nn.softmax(attn_col, axis=-1).astype(v.dtype)
 
     hid = jnp.einsum("bnlw,bhwnd->bnlhd", attn_row, vh)
     out = jnp.einsum("bnlh,bnlhd->blnd", attn_col, hid)
@@ -172,9 +176,9 @@ def mha_attention(
     k = (key @ wk.T + bk).reshape(B, -1, num_heads, d)
     v = (value @ wv.T + bv).reshape(B, -1, num_heads, d)
 
-    attn = jnp.einsum("blnd,bsnd->bnls", q, k)
+    attn = jnp.einsum("blnd,bsnd->bnls", q, k, preferred_element_type=jnp.float32)
     if key_padding_mask is not None:
         attn = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, attn)
-    attn = jax.nn.softmax(attn, axis=-1)
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     out = jnp.einsum("bnls,bsnd->blnd", attn, v).reshape(B, L, E)
     return out @ out_proj_weight.T + out_proj_bias

@@ -195,3 +195,86 @@ def counting_summary(results: List[Dict]) -> Dict[str, float]:
     if not gts:
         return {}
     return counting_metrics(gts, preds)
+
+
+def stage1_test(
+    forward, params, dataset, cfg: Config, out_path: Optional[str], mesh=None,
+    vis_dir: Optional[str] = None,
+):
+    """Stage-1 'test' mode (reference 1st-stage engine.py:190-265): run the
+    point->wh model on GT box centers, keep the top-100 scoring queries, and
+    emit xywh COCO annotations (pseudo_test_anchor_detr_v3.json equivalent).
+    """
+    from countdetr_tpu.eval.postprocess import topk_postprocess
+
+    batcher = Batcher(
+        dataset, cfg.data.batch_size, cfg.data.buckets,
+        max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
+    )
+    images: List[Dict] = []
+    annotations: List[Dict] = []
+    ann_id = 1
+    for batch in prefetch(iter(batcher)):
+        meta = batch["meta"]
+        db = shard_batch(
+            {k: v for k, v in batch.items() if k not in ("meta", "bucket")}, mesh
+        ) if mesh is not None else batch
+        out = forward(
+            params, db["images"], db["pad_mask"], db["points"], db["points_valid"]
+        )
+        import jax.numpy as jnp
+
+        boxes_cxcywh = np.concatenate(
+            [np.asarray(out["pred_points"]), np.asarray(out["pred_wh"])], axis=-1
+        )
+        logits = np.asarray(out["pred_logits"])
+        sizes = np.array(
+            [[m["orig_size"][1], m["orig_size"][0]] for m in meta], np.float32
+        )  # (h, w)
+        k = min(100, logits.shape[1] * logits.shape[2])
+        post = topk_postprocess(
+            jnp.array(logits), jnp.array(boxes_cxcywh), jnp.array(sizes), k=k
+        )
+        bvalid = np.asarray(batch["batch_valid"])
+        pvalid = np.asarray(batch["points_valid"])
+        for i, m in enumerate(meta):
+            if not bvalid[i]:
+                continue
+            w, h = m["orig_size"]
+            img_id = m.get("image_id", len(images) + 1)
+            images.append(
+                {"id": img_id, "file_name": m.get("image_name", "None"),
+                 "height": int(h), "width": int(w)}
+            )
+            bxs = np.asarray(post["boxes"][i])  # xyxy px
+            for x1, y1, x2, y2 in bxs:
+                annotations.append(
+                    {
+                        "id": ann_id,
+                        "image_id": img_id,
+                        "area": int((x2 - x1) * (y2 - y1)),
+                        "bbox": [int(x1), int(y1), int(x2 - x1), int(y2 - y1)],
+                        "category_id": 1,
+                        "iscrowd": 0,
+                    }
+                )
+                ann_id += 1
+            if vis_dir:
+                from countdetr_tpu.utils.visualize import draw_detections
+                from countdetr_tpu.data.fscd147 import IMAGENET_MEAN, IMAGENET_STD
+
+                os.makedirs(vis_dir, exist_ok=True)
+                img = np.asarray(batch["images"][i])
+                img = (img * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+                cxcywh = np.stack(
+                    [(bxs[:, 0] + bxs[:, 2]) / 2 * img.shape[1] / w,
+                     (bxs[:, 1] + bxs[:, 3]) / 2 * img.shape[0] / h,
+                     (bxs[:, 2] - bxs[:, 0]) * img.shape[1] / w,
+                     (bxs[:, 3] - bxs[:, 1]) * img.shape[0] / h], axis=1,
+                )
+                vis = draw_detections(np.clip(img, 0, 255), cxcywh)
+                vis.save(os.path.join(vis_dir, m.get("image_name", f"{img_id}.jpg")))
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        write_coco(out_path, images, annotations, box_format="xywh")
+    return out_path

@@ -62,16 +62,20 @@ def stage2_loss(model, params, batch, cfg: Config):
         exemplar_boxes=batch["exemplar_boxes"],
     )
     t = cfg.train
-    cost = loss_ops.stage2_cost_matrix(
-        jax.lax.stop_gradient(out["pred_logits"]),
-        jax.lax.stop_gradient(out["pred_boxes"]),
-        batch["boxes"],
-        batch["labels"],
-        cost_class=t.set_cost_class,
-        cost_bbox=t.set_cost_bbox,
-        cost_giou=t.set_cost_giou,
-    )
-    tgt2query = matching.batched_match(cost, batch["boxes_valid"])
+
+    def match(logits, boxes):
+        cost = loss_ops.stage2_cost_matrix(
+            jax.lax.stop_gradient(logits),
+            jax.lax.stop_gradient(boxes),
+            batch["boxes"],
+            batch["labels"],
+            cost_class=t.set_cost_class,
+            cost_bbox=t.set_cost_bbox,
+            cost_giou=t.set_cost_giou,
+        )
+        return matching.batched_match(cost, batch["boxes_valid"])
+
+    tgt2query = match(out["pred_logits"], out["pred_boxes"])
     parts = loss_ops.stage2_criterion(
         out["pred_logits"],
         out["pred_boxes"],
@@ -88,6 +92,33 @@ def stage2_loss(model, params, batch, cfg: Config):
         + t.giou_loss_coef * parts["loss_giou"]
         + t.variance_loss_coef * parts["loss_variance"]
     )
+
+    # auxiliary per-decoder-layer losses with their own matching (reference
+    # SetCriterion, 2nd-stage anchor_detr.py:334-347; no variance term on aux
+    # outputs since only the last layer has the var head wired to the loss)
+    if cfg.model.aux_loss and "aux_outputs" in out:
+        for i, aux in enumerate(out["aux_outputs"]):
+            tq_i = match(aux["pred_logits"], aux["pred_boxes"])
+            dummy_vars = jnp.ones_like(out["pred_vars"])
+            p_i = loss_ops.stage2_criterion(
+                aux["pred_logits"],
+                aux["pred_boxes"],
+                dummy_vars,
+                batch["boxes"],
+                batch["labels"],
+                MatchedTargets(tq_i, batch["boxes_valid"]),
+                focal_alpha=t.focal_alpha,
+                batch_valid=batch.get("batch_valid"),
+            )
+            total = total + (
+                t.cls_loss_coef * p_i["loss_ce"]
+                + t.bbox_loss_coef * p_i["loss_bbox"]
+                + t.giou_loss_coef * p_i["loss_giou"]
+            )
+            parts[f"loss_ce_{i}"] = p_i["loss_ce"]
+            parts[f"loss_bbox_{i}"] = p_i["loss_bbox"]
+            parts[f"loss_giou_{i}"] = p_i["loss_giou"]
+
     parts["loss"] = total
     return total, parts
 
