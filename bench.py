@@ -46,8 +46,8 @@ def main():
     )
     model = CountingDetr(cfg)
 
-    B, H, W = int(os.environ.get("BENCH_BATCH", "8")), 592, 592
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    B, H, W = int(os.environ.get("BENCH_BATCH", "32")), 592, 592
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     rng = np.random.default_rng(0)
     images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
     pad_mask = jnp.zeros((B, H, W), dtype=bool)

@@ -197,3 +197,22 @@ class FSC147Pseudo(FSCD147Base):
             "exemplar_boxes": rects.astype(np.float32),
             "orig_size": (w, h),
         }
+
+
+def sample_points_from_density(
+    density_map: np.ndarray, num_samples: int = 300, rng=None
+) -> np.ndarray:
+    """Sample normalized (x, y) points proportionally to a density/centerness
+    map (reference FSC147_Dataset_Test.get_sample_points, data/fsc147.py:259-284)
+    — feeds the transformer's 'sampled' spatial prior."""
+    rng = rng or np.random.default_rng()
+    h, w = density_map.shape
+    flat = density_map.reshape(-1).astype(np.float64)
+    total = flat.sum()
+    if total <= 0:
+        flat = np.ones_like(flat)
+        total = flat.sum()
+    p = flat / total
+    idx = rng.choice(h * w, size=num_samples, p=p)
+    ys, xs = np.divmod(idx, w)
+    return np.stack([xs / w, ys / h], axis=1).astype(np.float32)

@@ -74,14 +74,20 @@ class MaskedGroupNorm(nn.Module):
 
 
 class InputProj(nn.Module):
-    """1x1 conv + GroupNorm(32) (reference anchor_detr.py:67-73)."""
+    """conv + GroupNorm(32) (reference anchor_detr.py:49-73): 1x1 for single
+    level; for multi-level, the lowest level uses a 3x3 stride-2 conv."""
 
     features: int
+    kernel: int = 1
+    stride: int = 1
 
     @nn.compact
     def __call__(self, x, valid=None):
+        pad = self.kernel // 2
         x = nn.Conv(
-            self.features, (1, 1), use_bias=True,
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)), use_bias=True,
             kernel_init=_xavier_conv, bias_init=nn.initializers.zeros,
             name="conv",
         )(x)
@@ -127,17 +133,35 @@ class CountingDetr(nn.Module):
         cfg = self.cfg
 
         dt = jnp.dtype(cfg.compute_dtype)
+        multi_level = cfg.num_feature_levels > 1
         feats = ResNetBackbone(
             dilation=cfg.dilation,
+            return_interm=multi_level,
             dtype=None if dt == jnp.float32 else dt,
             name="backbone",
         )(images, pad_mask)
         feat = feats[-1]
         h, w = feat.shape[1], feat.shape[2]
         fmask = downsample_mask(pad_mask, h, w)
-
         fvalid = ~fmask
-        if cfg.exemplar_aggregation:
+
+        if multi_level:
+            # C3/C4/C5 at strides 8/16/16 (DC5); the 3x3-s2 proj on C3 brings
+            # every level to the C5 resolution (reference anchor_detr.py:49-65)
+            assert not cfg.exemplar_aggregation, (
+                "exemplar aggregation is defined on the single C5 level"
+            )
+            srcs = []
+            for lv, f in enumerate(feats):
+                proj = InputProj(
+                    cfg.hidden_dim,
+                    kernel=3 if lv == 0 else 1,
+                    stride=2 if lv == 0 else 1,
+                    name=f"input_proj_{lv}",
+                )
+                srcs.append(proj(f, fvalid))
+            src = jnp.stack(srcs, axis=1)  # (B, l, h, w, C)
+        elif cfg.exemplar_aggregation:
             assert exemplar_boxes is not None, "stage 2 needs exemplar boxes"
             feat = exemplar_aggregate(feat, exemplar_boxes)
             src = InputProj(cfg.hidden_dim, name="aggr_input_proj")(feat, fvalid)

@@ -233,6 +233,30 @@ class EncoderLayer(nn.Module):
         return FFN(self.d_model, self.d_ffn, name="ffn")(src)
 
 
+class LevelEncoderLayer(nn.Module):
+    """Attention ACROSS feature levels, per pixel (reference
+    TransformerEncoderLayerLevel, transformer.py:281-312). Active only when
+    num_feature_levels > 1."""
+
+    d_model: int
+    d_ffn: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, src, level_emb):
+        # src: (B, l, H, W, C); level_emb: (l, C)
+        B, l, H, W, C = src.shape
+        x = src.transpose(0, 2, 3, 1, 4).reshape(B * H * W, l, C)
+        qk = x + level_emb[None, :, :].astype(x.dtype)
+        x2 = MHAttention(self.d_model, self.num_heads, name="self_attn_level")(
+            qk, qk, x
+        )
+        x = x + x2
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name="norm1")(x)
+        x = FFN(self.d_model, self.d_ffn, name="ffn")(x)
+        return x.reshape(B, H, W, l, C).transpose(0, 3, 1, 2, 4)
+
+
 class DecoderLayer(nn.Module):
     """query self-attention + RCDA cross-attention
     (reference transformer.py:315-407)."""
@@ -243,6 +267,8 @@ class DecoderLayer(nn.Module):
     attention_type: str = "RCDA"
     use_pallas: bool = False
 
+    num_levels: int = 1
+
     @nn.compact
     def __call__(
         self,
@@ -250,14 +276,15 @@ class DecoderLayer(nn.Module):
         query_pos,  # (B, L, C) 2-D sinusoidal of reference points
         query_pos_x,  # (B, L, C) 1-D of ref x
         query_pos_y,  # (B, L, C) 1-D of ref y
-        src,  # (B, H, W, C)
-        pad_mask,  # (B, H, W)
-        posemb_row,  # (B, W, C)
-        posemb_col,  # (B, H, C)
+        src,  # (B*l, H, W, C) feature levels folded into batch
+        pad_mask,  # (B*l, H, W)
+        posemb_row,  # (B*l, W, C)
+        posemb_col,  # (B*l, H, C)
         query_valid=None,  # (B, L) bool — mask padded queries
         posemb_2d=None,
     ):
         B, L, C = tgt.shape
+        l = self.num_levels
         q = k = tgt + query_pos
         q_pad = None if query_valid is None else ~query_valid
         tgt2 = MHAttention(self.d_model, self.num_heads, name="self_attn")(
@@ -266,23 +293,32 @@ class DecoderLayer(nn.Module):
         tgt = tgt + tgt2
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm2")(tgt)
 
+        def tile_l(x):  # (B, L, C) -> (B*l, L, C), level-major like the
+            # reference's .repeat(l, 1, 1) (transformer.py:384)
+            return jnp.tile(x, (l, 1, 1)) if l > 1 else x
+
         if self.attention_type == "RCDA":
             k_row = src + posemb_row[:, None, :, :]
             k_col = src + posemb_col[:, :, None, :]
             tgt2 = RCDAAttention(
                 self.d_model, self.num_heads, self.use_pallas, name="cross_attn"
             )(
-                tgt + query_pos_x, tgt + query_pos_y, k_row, k_col, src,
+                tile_l(tgt + query_pos_x), tile_l(tgt + query_pos_y),
+                k_row, k_col, src,
                 key_padding_mask=pad_mask,
             )
         else:
             H, W = src.shape[1], src.shape[2]
             tgt2 = MHAttention(self.d_model, self.num_heads, name="cross_attn")(
-                tgt + query_pos,
-                (src + posemb_2d).reshape(B, H * W, C),
-                src.reshape(B, H * W, C),
-                key_padding_mask=pad_mask.reshape(B, H * W),
+                tile_l(tgt + query_pos),
+                (src + posemb_2d).reshape(src.shape[0], H * W, C),
+                src.reshape(src.shape[0], H * W, C),
+                key_padding_mask=pad_mask.reshape(src.shape[0], H * W),
             )
+        if l > 1:
+            # merge levels (reference transformer.py:398-399)
+            tgt2 = tgt2.reshape(l, B, L, C).transpose(1, 2, 0, 3).reshape(B, L, C * l)
+            tgt2 = TorchLinear(C, name="level_fc")(tgt2)
         tgt = tgt + tgt2
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm1")(tgt)
         return FFN(self.d_model, self.d_ffn, name="ffn")(tgt)
@@ -313,7 +349,21 @@ class Transformer(nn.Module):
         cfg = self.cfg
         dt = jnp.dtype(cfg.compute_dtype)
         src = src.astype(dt)
-        B, H, W, C = src.shape
+        # multi-level input arrives as (B, l, H, W, C); levels fold into the
+        # batch dim LEVEL-MAJOR for the spatial encoder/cross-attention
+        # (reference transformer.py:161 — it runs batch=1 so its b-major vs
+        # level-major distinction never materializes; we pick level-major
+        # consistently)
+        nlv = cfg.num_feature_levels
+        if src.ndim == 5:
+            B = src.shape[0]
+            assert src.shape[1] == nlv
+            src = src.transpose(1, 0, 2, 3, 4).reshape(-1, *src.shape[2:])
+            pad_mask = jnp.tile(pad_mask, (nlv, 1, 1))
+        else:
+            assert nlv == 1
+            B = src.shape[0]
+        _, H, W, C = src.shape
         P = reference_points.shape[1]
         npat = cfg.num_query_pattern
         L = P * npat
@@ -348,12 +398,28 @@ class Transformer(nn.Module):
             posemb_2d = adapt_pos2d(pos2posemb2d(pos2d, cfg.hidden_dim // 2).astype(dt))
             posemb_row = posemb_col = None
 
+        # layer split with levels (reference transformer.py:51-58): half the
+        # encoder layers get a cross-level attention layer interleaved
+        n_level_layers = 0 if nlv == 1 else cfg.enc_layers // 2
+        n_spatial = cfg.enc_layers - n_level_layers
+        if nlv > 1:
+            level_embed = self.param(
+                "level_embed", nn.initializers.normal(1.0), (nlv, cfg.hidden_dim)
+            )
+
         x = src
-        for i in range(cfg.enc_layers):
+        for i in range(n_spatial):
             x = EncoderLayer(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
                 cfg.attention_type, cfg.use_pallas_rcda, name=f"encoder_{i}",
             )(x, pad_mask, posemb_row, posemb_col, posemb_2d)
+            if i < n_level_layers:
+                x5 = x.reshape(nlv, B, H, W, C).transpose(1, 0, 2, 3, 4)
+                x5 = LevelEncoderLayer(
+                    cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
+                    name=f"encoder_level_{i}",
+                )(x5, level_embed)
+                x = x5.transpose(1, 0, 2, 3, 4).reshape(nlv * B, H, W, C)
 
         query_pos = adapt_pos2d(pos2posemb2d(ref, cfg.hidden_dim // 2).astype(dt))
         if cfg.attention_type == "RCDA":
@@ -387,7 +453,7 @@ class Transformer(nn.Module):
         for i in range(cfg.dec_layers):
             out = DecoderLayer(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
-                cfg.attention_type, cfg.use_pallas_rcda, name=f"decoder_{i}",
+                cfg.attention_type, cfg.use_pallas_rcda, nlv, name=f"decoder_{i}",
             )(
                 out, query_pos, query_pos_x, query_pos_y, x, pad_mask,
                 posemb_row, posemb_col, qvalid, posemb_2d,

@@ -1,0 +1,83 @@
+"""Orbax checkpoint save/restore round-trip + torch import edge cases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from countdetr_tpu import config as cfglib
+from countdetr_tpu.models import CountingDetr
+from countdetr_tpu.train import checkpoints as ckpt
+from countdetr_tpu.train.optimizer import build_optimizer
+from countdetr_tpu.train.train_step import create_state, make_train_step
+
+
+def test_orbax_roundtrip(tmp_path, rng):
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(
+        model=cfg.model.replace(
+            enc_layers=1, dec_layers=1, hidden_dim=32, nheads=4, dim_feedforward=64
+        )
+    )
+    model = CountingDetr(cfg.model)
+    B, H, W, P = 2, 32, 32, 3
+    batch = {
+        "images": jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "pad_mask": jnp.zeros((B, H, W), dtype=bool),
+        "points": jnp.array(rng.uniform(0.2, 0.8, (B, P, 2)).astype(np.float32)),
+        "points_valid": jnp.ones((B, P), dtype=bool),
+        "whs": jnp.array(rng.uniform(0.1, 0.3, (B, P, 2)).astype(np.float32)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    tx = build_optimizer(cfg.train, params, 10)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)
+
+    snap = jax.tree_util.tree_map(np.asarray, state.params)
+    ckpt.save_checkpoint(str(tmp_path), 7, state, {"epoch": 3})
+    assert ckpt.latest_step(str(tmp_path)) == 7
+
+    # fresh state, restore into it
+    params2 = model.init(
+        jax.random.PRNGKey(1), batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    state2 = create_state(params2, tx)
+    rparams, ropt, meta = ckpt.restore_checkpoint(str(tmp_path), 7, state2)
+    assert meta["epoch"] == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(snap), jax.tree_util.tree_leaves(rparams)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored state continues training without error
+    state3 = state2._replace(params=rparams, opt_state=ropt)
+    state3, m = step(state3, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_torch_import_rejects_shape_mismatch(rng):
+    """A wrong-shaped tensor must fail loudly, not silently broadcast."""
+    import pytest
+
+    from countdetr_tpu.train.checkpoints import torch_state_dict_to_params
+
+    template = {"params": {"transformer": {"adapt_pos1d": {
+        "0": {"weight": np.zeros((4, 4), np.float32), "bias": np.zeros(4, np.float32)},
+        "2": {"weight": np.zeros((4, 4), np.float32), "bias": np.zeros(4, np.float32)},
+    }, "adapt_pos2d": {
+        "0": {"weight": np.zeros((4, 4), np.float32), "bias": np.zeros(4, np.float32)},
+        "2": {"weight": np.zeros((4, 4), np.float32), "bias": np.zeros(4, np.float32)},
+    }}}}
+    sd = {}
+    for ap in ("adapt_pos1d", "adapt_pos2d"):
+        for i in ("0", "2"):
+            sd[f"transformer.{ap}.{i}.weight"] = np.zeros((4, 4), np.float32)
+            sd[f"transformer.{ap}.{i}.bias"] = np.zeros((4,), np.float32)
+    sd["transformer.adapt_pos1d.0.weight"] = np.zeros((8, 4), np.float32)  # wrong
+    with pytest.raises(ValueError, match="shape mismatch"):
+        torch_state_dict_to_params(sd, template)
