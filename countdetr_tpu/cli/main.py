@@ -190,7 +190,30 @@ def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
         return D.FSCDLvisExemplars(dp, split, sf)
 
 
+def get_sha() -> str:
+    """git state banner (reference util/misc.py:255-273)."""
+    import subprocess
+
+    cwd = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=cwd, stderr=subprocess.DEVNULL
+        ).decode().strip()
+    except Exception:
+        return "sha: unknown"
+    dirty = "clean"
+    try:
+        subprocess.check_output(
+            ["git", "diff-index", "--quiet", "HEAD"], cwd=cwd,
+            stderr=subprocess.DEVNULL,
+        )
+    except Exception:
+        dirty = "has uncommitted changes"
+    return f"sha: {sha} ({dirty})"
+
+
 def main(args):
+    print(get_sha())
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -285,6 +308,9 @@ def main(args):
             results = engine.infer_detections(forward, params, ds, cfg, out, mesh)
             counting = engine.counting_summary(results)
             ap = evaluate_results(results, ds)
+            from countdetr_tpu.cli.offline_eval import analyze_results
+
+            analyze_results(results, args.output_dir)
             all_metrics[split] = {**counting, **ap}
             print(split, json.dumps(all_metrics[split], indent=2))
         with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
@@ -348,6 +374,13 @@ def main(args):
 
 
 if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        "Counting-DETR TPU", parents=[get_args_parser()]
+    )
+    main(parser.parse_args())
+
+
+def cli_entry():
     parser = argparse.ArgumentParser(
         "Counting-DETR TPU", parents=[get_args_parser()]
     )

@@ -90,3 +90,68 @@ def evaluate_results(results: List[Dict], dataset) -> Dict[str, float]:
             continue
         ev.add_image(xywh, np.asarray(r["scores"]), gts)
     return ev.summarize()
+
+
+def analyze_results(
+    results, out_dir: str = "", worst_k: int = 20
+):
+    """Sort per-image results by |count error| (reference
+    scripts/analyze_res.py:10-54 sorts the each_img_infor.pkl by AP/count
+    diff for inspection). Returns the worst images; optionally writes a
+    JSON report."""
+    scored = [
+        {
+            "image_name": r.get("image_name"),
+            "image_id": r.get("image_id"),
+            "count_gt": r.get("count_gt"),
+            "count_pred": r.get("count_pred"),
+            "abs_err": abs((r.get("count_gt") or 0) - r["count_pred"]),
+        }
+        for r in results
+    ]
+    scored.sort(key=lambda x: -x["abs_err"])
+    worst = scored[:worst_k]
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "worst_images.json"), "w") as f:
+            json.dump(worst, f, indent=2)
+    return worst
+
+
+def visualize_predictions(
+    pred_path: str, data_path: str, out_dir: str, limit: int = 20,
+    image_dir: str = "images_384_VarV2",
+):
+    """Draw predicted boxes onto images (reference
+    scripts/visualize_generated_data.py:9-64 and the evaluators' vis dumps)."""
+    from PIL import Image
+
+    from countdetr_tpu.utils.visualize import draw_detections
+
+    preds = CocoJson(pred_path, "cxcywh")
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    for img_id in preds.image_ids():
+        if count >= limit:
+            break
+        info = preds.load_img(img_id)
+        name = info.get("file_name")
+        path = os.path.join(data_path, image_dir, name or "")
+        if not name or not os.path.exists(path):
+            continue
+        anns = preds.anns_for(img_id)
+        boxes = np.array([a["bbox"] for a in anns], np.float32).reshape(-1, 4)
+        if preds.box_format == "xywh":
+            boxes = np.concatenate(
+                [boxes[:, :2] + boxes[:, 2:] / 2.0, boxes[:, 2:]], axis=1
+            )
+        scores = np.array([a.get("score", 1.0) for a in anns])
+        pts = np.array(
+            [a["point"] for a in anns if "point" in a], np.float32
+        ).reshape(-1, 2)
+        img = draw_detections(
+            Image.open(path), boxes, pts if len(pts) else None, scores
+        )
+        img.save(os.path.join(out_dir, name))
+        count += 1
+    return count

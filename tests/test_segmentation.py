@@ -1,0 +1,48 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from countdetr_tpu.models.segmentation import (
+    MaskHeadSmallConv, MHAttentionMap, dice_loss, mask_losses,
+    postprocess_masks,
+)
+
+
+def test_attention_map_shapes(rng):
+    m = MHAttentionMap(hidden_dim=32, num_heads=4)
+    q = jnp.array(rng.normal(size=(2, 5, 32)).astype(np.float32))
+    f = jnp.array(rng.normal(size=(2, 8, 8, 32)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), q, f)
+    out = m.apply(params, q, f)
+    assert out.shape == (2, 5, 4, 8, 8)
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(2, 5, 4, -1).sum(-1)), 1.0, atol=1e-5
+    )
+
+
+def test_mask_head(rng):
+    head = MaskHeadSmallConv(dim=32)
+    x = jnp.array(rng.normal(size=(4, 8, 8, 36)).astype(np.float32))
+    fpn = [jnp.array(rng.normal(size=(2, 16, 16, 24)).astype(np.float32))]
+    params = head.init(jax.random.PRNGKey(0), x, fpn)
+    out = head.apply(params, x, fpn)
+    assert out.shape == (4, 16, 16)
+
+
+def test_dice_loss_perfect():
+    t = jnp.array([[1.0, 1.0, 0.0, 0.0]])
+    logits = jnp.array([[20.0, 20.0, -20.0, -20.0]])
+    assert float(dice_loss(logits, t, 1)) < 1e-3
+    worst = float(dice_loss(-logits, t, 1))
+    assert worst > 0.5
+
+
+def test_mask_losses_and_postprocess(rng):
+    pm = jnp.array(rng.normal(size=(3, 8, 8)).astype(np.float32))
+    tm = (rng.uniform(size=(3, 8, 8)) > 0.5).astype(np.float32)
+    valid = jnp.array([True, True, False])
+    out = mask_losses(pm, jnp.array(tm), valid, 2.0)
+    assert np.isfinite(float(out["loss_mask"]))
+    assert np.isfinite(float(out["loss_dice"]))
+    masks = postprocess_masks(pm, (16, 16))
+    assert masks.shape == (3, 16, 16) and masks.dtype == bool
