@@ -50,6 +50,7 @@ class ModelConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for speed once parity is pinned
     use_pallas_rcda: bool = False
+    remat: bool = False  # jax.checkpoint each transformer layer (memory/FLOPs trade)
 
     @property
     def num_queries(self) -> int:

@@ -60,3 +60,54 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel sharding rules (capability extension — SURVEY.md 2.8: the
+# model is ~37M params so TP is unnecessary for capacity; the rules exist so
+# the framework scales the standard way: annotate shardings, let the SPMD
+# partitioner insert the collectives).
+# ---------------------------------------------------------------------------
+
+
+def tp_param_spec(path, value, axis: str = "model") -> P:
+    """PartitionSpec for one param: attention head projections and FFN hidden
+    dims shard over the tensor axis; everything else replicates.
+
+    Layouts (torch-packed, see models/transformer.py):
+      in_proj_weight (kE, E): rows pack per-head outputs -> P(axis, None)
+      out_proj_weight (E, E): contraction dim is the sharded head dim ->
+        P(None, axis) (XLA inserts the all-reduce after the contraction)
+      ffn linear1 (d_ffn, E) -> P(axis, None); linear2 (E, d_ffn) ->
+        P(None, axis)
+    """
+    keys = [str(getattr(p, "key", p)) for p in path]
+    joined = "/".join(keys)
+    leaf = keys[-1]
+    mod = keys[-2] if len(keys) >= 2 else ""
+    nd = getattr(value, "ndim", 0)
+
+    if leaf == "in_proj_weight" and nd == 2:
+        return P(axis, None)
+    if leaf == "in_proj_bias":
+        return P(axis)
+    if leaf == "out_proj_weight" and nd == 2:
+        return P(None, axis)
+    if mod == "linear1" and leaf == "weight" and nd == 2:
+        return P(axis, None)
+    if mod == "linear1" and leaf == "bias":
+        return P(axis)
+    if mod == "linear2" and leaf == "weight" and nd == 2:
+        return P(None, axis)
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
+    """device_put every param with its TP sharding over `mesh`."""
+    import jax.tree_util as jtu
+
+    def put(path, v):
+        spec = tp_param_spec(path, v, axis)
+        return jax.device_put(v, NamedSharding(mesh, spec))
+
+    return jtu.tree_map_with_path(put, params)

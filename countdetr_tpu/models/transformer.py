@@ -407,9 +407,17 @@ class Transformer(nn.Module):
                 "level_embed", nn.initializers.normal(1.0), (nlv, cfg.hidden_dim)
             )
 
+        # optional rematerialization: recompute layer activations in the
+        # backward pass instead of storing them (HBM <-> FLOPs trade)
+        enc_ctor = EncoderLayer
+        dec_ctor = DecoderLayer
+        if cfg.remat:
+            enc_ctor = nn.remat(EncoderLayer, static_argnums=())
+            dec_ctor = nn.remat(DecoderLayer, static_argnums=())
+
         x = src
         for i in range(n_spatial):
-            x = EncoderLayer(
+            x = enc_ctor(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
                 cfg.attention_type, cfg.use_pallas_rcda, name=f"encoder_{i}",
             )(x, pad_mask, posemb_row, posemb_col, posemb_2d)
@@ -451,7 +459,7 @@ class Transformer(nn.Module):
         classes, coords, variances = [], [], []
         ref_logit = inverse_sigmoid(ref)
         for i in range(cfg.dec_layers):
-            out = DecoderLayer(
+            out = dec_ctor(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
                 cfg.attention_type, cfg.use_pallas_rcda, nlv, name=f"decoder_{i}",
             )(

@@ -110,12 +110,21 @@ def stage2_criterion(
         num_boxes = jnp.maximum(vf.sum(), 1.0)
 
     # ---- focal classification loss (reference :166-197) -------------------
-    # one-hot over (B, Q+1, C): padded targets scatter to the extra row Q.
-    q_idx = jnp.where(tv, tq, Q)
-    onehot = jnp.zeros((B, Q + 1, C), dtype=pred_logits.dtype)
+    # Reference quirk: target_classes is filled with num_classes(criterion)=1
+    # ("no-object") and the one-hot is built over C+1 columns then sliced
+    # [:, :, :-1] — with C=2 logits and criterion num_classes=1, UNMATCHED
+    # queries keep an explicit background one-hot at class index 1
+    # (anchor_detr.py:174-187). Matched queries scatter their label (0).
+    bg_class = C - 1
+    q_idx = jnp.where(tv, tq, Q)  # padded targets scatter to the extra row
+    target_classes = jnp.full((B, Q + 1), bg_class, dtype=jnp.int32)
     b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
-    onehot = onehot.at[b_idx, q_idx, tgt_labels].set(1.0)
-    onehot = onehot[:, :Q, :]
+    target_classes = target_classes.at[b_idx, q_idx].set(
+        tgt_labels.astype(jnp.int32)
+    )
+    onehot = jax.nn.one_hot(
+        target_classes[:, :Q], C, dtype=pred_logits.dtype
+    )
     # reference: focal.mean(1).sum() / num_boxes * Q  ==  focal.sum() / num_boxes
     focal = sigmoid_focal_loss(pred_logits, onehot, alpha=focal_alpha)
     if batch_valid is not None:

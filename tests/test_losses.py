@@ -95,8 +95,12 @@ def _torch_stage2_oracle(logits, boxes, variances, tgt_boxes, tgt_labels, tq):
     tgtb = torch.tensor(tgt_boxes)
     tq = torch.tensor(tq, dtype=torch.long)
 
+    # reference behavior: unmatched queries carry an explicit background
+    # one-hot at the last class (see ops/losses.py stage2_criterion comment)
     onehot = torch.zeros(1, Q, C)
+    onehot[:, :, C - 1] = 1.0
     for t in range(T):
+        onehot[0, tq[0, t], C - 1] = 0.0
         onehot[0, tq[0, t], tgt_labels[0, t]] = 1.0
     prob = logits.sigmoid()
     ce = F.binary_cross_entropy_with_logits(logits, onehot, reduction="none")
