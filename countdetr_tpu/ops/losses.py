@@ -161,12 +161,24 @@ def stage2_criterion(
     card_pred = (jnp.argmax(pred_logits, axis=-1) != C - 1).sum(axis=1)
     card_err = jnp.abs(card_pred.astype(jnp.float32) - vf.sum(axis=1)).mean()
 
+    # ---- class_error (log-only; reference :194-196 via util/misc accuracy):
+    # top-1 accuracy of matched queries' class predictions
+    matched_logits = jnp.take_along_axis(
+        pred_logits, tq[..., None], axis=1
+    )  # (B, T, C)
+    correct = (
+        jnp.argmax(matched_logits, axis=-1) == tgt_labels.astype(jnp.int32)
+    ).astype(jnp.float32)
+    acc = (correct * vf).sum() / jnp.maximum(vf.sum(), 1.0)
+    class_error = 100.0 * (1.0 - acc)
+
     return {
         "loss_ce": loss_ce,
         "loss_bbox": loss_bbox,
         "loss_giou": loss_giou,
         "loss_variance": loss_variance,
         "cardinality_error": jax.lax.stop_gradient(card_err),
+        "class_error": jax.lax.stop_gradient(class_error),
     }
 
 
