@@ -111,3 +111,50 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
         return jax.device_put(v, NamedSharding(mesh, spec))
 
     return jtu.tree_map_with_path(put, params)
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Multi-host initialization — the reference's init_distributed_mode
+    (util/misc.py:399-436: env:// or SLURM discovery + NCCL init) maps to
+    jax.distributed.initialize; after it, collectives ride ICI within a
+    slice and DCN across slices with no further user code.
+
+    No-ops when neither args nor the standard env vars are present
+    (single-process run)."""
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False  # single process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def gather_metrics(metrics: dict) -> dict:
+    """Average scalar metrics across hosts (the reference's reduce_dict /
+    MetricLogger.synchronize_between_processes, util/misc.py:133-157,49-60).
+    Single-process: identity."""
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+
+    import numpy as np
+
+    keys = sorted(metrics.keys())
+    vec = np.array([float(metrics[k]) for k in keys], np.float32)
+    all_vals = multihost_utils.process_allgather(vec)
+    mean = np.asarray(all_vals).reshape(jax.process_count(), -1).mean(axis=0)
+    return dict(zip(keys, mean.tolist()))

@@ -87,10 +87,15 @@ def _set(tree: Dict, path, value):
 
 
 def torch_state_dict_to_params(
-    sd: Dict[str, "np.ndarray"], template: Any, strict: bool = False
+    sd: Dict[str, "np.ndarray"], template: Any, strict: bool = False,
+    skip_mismatched: bool = False,
 ) -> Any:
     """Convert a reference torch state_dict (tensors or ndarrays) into our
-    param pytree, shaped like `template` (a flax variables dict)."""
+    param pytree, shaped like `template` (a flax variables dict).
+
+    skip_mismatched: keep the template's init value for shape-mismatched
+    entries instead of erroring — the reference does the same when query
+    counts change (it drops transformer.pattern.weight, main.py:229-232)."""
 
     def arr(t):
         if hasattr(t, "detach"):
@@ -270,6 +275,12 @@ def torch_state_dict_to_params(
         v = np.asarray(src)
         t = np.asarray(tmpl)
         if t.shape != v.shape:
+            if skip_mismatched:
+                print(
+                    f"skipping mismatched import: {t.shape} != {v.shape} "
+                    "(keeping init value)"
+                )
+                return t
             raise ValueError(
                 f"shape mismatch: template {t.shape} vs import {v.shape}"
             )

@@ -81,3 +81,33 @@ def test_torch_import_rejects_shape_mismatch(rng):
     sd["transformer.adapt_pos1d.0.weight"] = np.zeros((8, 4), np.float32)  # wrong
     with pytest.raises(ValueError, match="shape mismatch"):
         torch_state_dict_to_params(sd, template)
+
+
+def test_torch_import_skip_mismatched():
+    """Reference behavior when query counts change: drop the mismatched
+    pattern weight, keep init (reference main.py:229-232)."""
+    from countdetr_tpu.train.checkpoints import torch_state_dict_to_params
+
+    init_val = np.full((3, 4), 7.0, np.float32)
+    template = {"params": {"transformer": {
+        "adapt_pos1d": {
+            "0": {"weight": np.zeros((4, 4), np.float32), "bias": np.zeros(4, np.float32)},
+            "2": {"weight": np.zeros((4, 4), np.float32), "bias": np.zeros(4, np.float32)},
+        },
+        "adapt_pos2d": {
+            "0": {"weight": np.zeros((4, 4), np.float32), "bias": np.zeros(4, np.float32)},
+            "2": {"weight": np.zeros((4, 4), np.float32), "bias": np.zeros(4, np.float32)},
+        },
+        "pattern": init_val,
+    }}}
+    sd = {"transformer.modify_pattern.weight": np.ones((5, 4), np.float32)}
+    for ap in ("adapt_pos1d", "adapt_pos2d"):
+        for i in ("0", "2"):
+            sd[f"transformer.{ap}.{i}.weight"] = np.ones((4, 4), np.float32)
+            sd[f"transformer.{ap}.{i}.bias"] = np.ones((4,), np.float32)
+    out = torch_state_dict_to_params(sd, template, skip_mismatched=True)
+    np.testing.assert_array_equal(out["params"]["transformer"]["pattern"], init_val)
+    np.testing.assert_array_equal(
+        out["params"]["transformer"]["adapt_pos1d"]["0"]["weight"],
+        np.ones((4, 4), np.float32),
+    )
