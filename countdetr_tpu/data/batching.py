@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -28,13 +29,36 @@ def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]]) -> Tuple[int
     return min(fitting, key=lambda b: b[0] * b[1])
 
 
+def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear HWC resize (pure numpy, align_corners=False convention)."""
+    H, W = img.shape[:2]
+    ys = (np.arange(h) + 0.5) * (H / h) - 0.5
+    xs = (np.arange(w) + 0.5) * (W / w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, H - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, W - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(img.dtype)
+
+
 def pad_to_bucket(img: np.ndarray, bucket: Tuple[int, int]):
     """Pad HWC image with zeros to bucket size; returns (padded, pad_mask).
-    If the image exceeds the bucket (outlier), it is center-cropped first."""
+
+    Images exceeding the bucket (outliers) are DOWNSCALED to fit, never
+    cropped: annotations are normalized to the image content region, so a
+    uniform per-axis resize keeps every point/box exactly valid, while a
+    crop would silently shift coordinates and strand out-of-crop targets.
+    """
     H, W = bucket
     h, w = img.shape[:2]
     if h > H or w > W:
-        img = img[:H, :W]
+        scale = min(H / h, W / w)
+        nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+        img = _resize_bilinear(img, nh, nw)
         h, w = img.shape[:2]
     out = np.zeros((H, W, img.shape[2]), dtype=img.dtype)
     out[:h, :w] = img
@@ -64,8 +88,18 @@ class Batcher:
       boxes (k,4)  -> boxes (B,T,4) + boxes_valid
       exemplar_boxes (K,4) -> (B,K,4)
     Everything else is collected into 'meta' (list of per-sample dicts).
+    Each meta dict additionally records the UNTRUNCATED 'n_points'/'n_boxes'
+    of its sample, so counting ground truth never deflates when a dense
+    image exceeds the padded capacity (FSC-147 runs to ~3.7k dots).
     The final partial batch is padded by repeating the last sample, with
     'batch_valid' marking real rows.
+
+    point_tiers: optional ascending point capacities (e.g. (128, 512, 4096)).
+    When set, each sample is grouped by the smallest tier that holds ALL its
+    points and padded to that tier instead of max_points — used by
+    pseudo-label generation, where dropping points would drop pseudo boxes
+    (the reference processes every annotated point, engine.py:123-187). One
+    compiled program per (bucket, tier) combination.
     """
 
     def __init__(
@@ -78,6 +112,7 @@ class Batcher:
         shuffle: bool = False,
         seed: int = 0,
         drop_remainder: bool = False,
+        point_tiers: Optional[Sequence[int]] = None,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -87,9 +122,30 @@ class Batcher:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
+        self.point_tiers = tuple(sorted(point_tiers)) if point_tiers else None
         self.epoch = 0
+        self._warned_truncation = False
 
-    def _assemble(self, samples: List[Dict], bucket) -> Dict:
+    def _point_capacity(self, n_pts: int) -> int:
+        if self.point_tiers is None:
+            return self.max_points
+        for t in self.point_tiers:
+            if n_pts <= t:
+                return t
+        return self.point_tiers[-1]
+
+    def _warn_truncated(self, kind: str, n: int, cap: int):
+        if not self._warned_truncation:
+            self._warned_truncation = True
+            warnings.warn(
+                f"Batcher: sample has {n} {kind} but capacity is {cap}; "
+                f"extra {kind} are dropped from the padded arrays (counting "
+                f"GT still uses the untruncated n_{kind} in meta). Raise "
+                f"max_{kind} or use point_tiers to keep them all.",
+                stacklevel=3,
+            )
+
+    def _assemble(self, samples: List[Dict], bucket, pt_cap: int) -> Dict:
         n = len(samples)
         real = n
         while len(samples) < self.bs:
@@ -101,23 +157,33 @@ class Batcher:
             img, m = pad_to_bucket(s["image"], bucket)
             images.append(img)
             masks.append(m)
+            n_points = n_boxes = 0
             if "points" in s:
-                p, v = pad_rows(s["points"], self.max_points, 2)
+                n_points = len(np.asarray(s["points"]).reshape(-1, 2))
+                if n_points > pt_cap:
+                    self._warn_truncated("points", n_points, pt_cap)
+                p, v = pad_rows(s["points"], pt_cap, 2)
                 pts.append(p)
                 ptsv.append(v)
             if "whs" in s:
-                w, _ = pad_rows(s["whs"], self.max_points, 2)
+                w, _ = pad_rows(s["whs"], pt_cap, 2)
                 whs.append(w)
             if "boxes" in s:
+                n_boxes = len(np.asarray(s["boxes"]).reshape(-1, 4))
+                if n_boxes > self.max_boxes:
+                    self._warn_truncated("boxes", n_boxes, self.max_boxes)
                 b, v = pad_rows(s["boxes"], self.max_boxes, 4)
                 boxes.append(b)
                 boxesv.append(v)
             if "exemplar_boxes" in s:
                 rects.append(np.asarray(s["exemplar_boxes"], dtype=np.float32))
-            batch["meta"].append(
-                {k: v for k, v in s.items()
-                 if k not in ("image", "points", "whs", "boxes", "exemplar_boxes")}
-            )
+            meta = {
+                k: v for k, v in s.items()
+                if k not in ("image", "points", "whs", "boxes", "exemplar_boxes")
+            }
+            meta["n_points"] = n_points
+            meta["n_boxes"] = n_boxes
+            batch["meta"].append(meta)
         batch["images"] = np.stack(images)
         batch["pad_mask"] = np.stack(masks)
         bv = np.zeros((self.bs,), dtype=bool)
@@ -142,17 +208,23 @@ class Batcher:
             rng.shuffle(order)
         self.epoch += 1
 
-        pending: Dict[Tuple[int, int], List[Dict]] = {}
+        pending: Dict[Tuple, List[Dict]] = {}
         for i in order:
             s = self.ds[int(i)]
             h, w = s["image"].shape[:2]
             bucket = pick_bucket(h, w, self.buckets)
-            pending.setdefault(bucket, []).append(s)
-            if len(pending[bucket]) == self.bs:
-                yield self._assemble(pending.pop(bucket), bucket)
-        for bucket, rest in pending.items():
+            n_pts = (
+                len(np.asarray(s["points"]).reshape(-1, 2))
+                if "points" in s else 0
+            )
+            pt_cap = self._point_capacity(n_pts)
+            key = (bucket, pt_cap)
+            pending.setdefault(key, []).append(s)
+            if len(pending[key]) == self.bs:
+                yield self._assemble(pending.pop(key), bucket, pt_cap)
+        for (bucket, pt_cap), rest in pending.items():
             if rest and not self.drop_remainder:
-                yield self._assemble(rest, bucket)
+                yield self._assemble(rest, bucket, pt_cap)
 
     def __len__(self):
         # upper bound (bucket fragmentation can add up to n_buckets batches)

@@ -7,7 +7,12 @@ evaluation protocol (greedy score-ordered matching at 10 IoU thresholds,
 101-point interpolated precision), parameterized the same way. For FSCD
 there is a single category.
 
-Verified against hand-checkable cases in tests/test_coco_eval.py.
+Verified two ways: hand-checkable cases (tests/test_eval.py) and randomized
+parity against a pycocotools-faithful oracle reimplementation of
+COCOeval's evaluateImg/accumulate (tests/test_coco_eval.py +
+tests/cocoeval_oracle.py), incl. area-range ignore ordering and maxDets
+truncation. Crowd (iscrowd) semantics are not implemented — FSCD GT has no
+crowd annotations.
 """
 
 from __future__ import annotations
@@ -47,10 +52,19 @@ def _match_image(dets, gts, gt_ignore, iou, iou_thrs, max_det):
 
     dets: (N,) scores sorted desc assumed; iou: (N, M).
     Returns (det_matched (T,N) gt index or -1, det_ignore (T,N) bool).
+
+    GTs are scanned ignored-LAST (pycocotools sorts by ignore flag before
+    its greedy loop — cocoeval.evaluateImg's gtind argsort); the early
+    `break` upon reaching the ignored region is only valid under that
+    ordering, otherwise an ignored gt in annotation order would abort the
+    scan before better real matches.
     """
     N = min(len(dets), max_det)
     M = iou.shape[1]
     T = len(iou_thrs)
+    g_order = np.argsort(gt_ignore, kind="mergesort")  # real gts first
+    gt_ignore = np.asarray(gt_ignore)[g_order]
+    iou = iou[:, g_order]
     det_m = -np.ones((T, N), dtype=np.int64)
     det_ig = np.zeros((T, N), dtype=bool)
     for ti, t in enumerate(iou_thrs):
@@ -60,8 +74,8 @@ def _match_image(dets, gts, gt_ignore, iou, iou_thrs, max_det):
             for gi in range(M):
                 if gt_taken[gi]:
                     continue
-                # prefer non-ignored gts: once matched to a real gt, do not
-                # switch to an ignored one
+                # gts are sorted ignore-last: once matched to a real gt,
+                # never switch to an ignored one
                 if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
                     break
                 if iou[di, gi] < best_iou:
@@ -70,7 +84,7 @@ def _match_image(dets, gts, gt_ignore, iou, iou_thrs, max_det):
                 best = gi
             if best >= 0:
                 gt_taken[best] = True
-                det_m[ti, di] = best
+                det_m[ti, di] = g_order[best]
                 det_ig[ti, di] = gt_ignore[best]
     return det_m, det_ig
 

@@ -73,10 +73,18 @@ class MatchedTargets(NamedTuple):
 
     tgt2query: (B, T) int32 — query index assigned to each target slot
     tgt_valid: (B, T) bool  — real targets (padding rows are False)
+    matched:   (B, T) bool or None — targets that actually won a query;
+               None means all valid targets did (the T <= Q case). With
+               more targets than queries only min(Q, #valid) can match
+               (the reference's rectangular scipy LAP, 2nd-stage
+               matcher.py:243-246) — unmatched-but-valid targets still
+               count toward num_boxes normalization but contribute no
+               pair losses.
     """
 
     tgt2query: jnp.ndarray
     tgt_valid: jnp.ndarray
+    matched: jnp.ndarray | None = None
 
 
 def stage2_criterion(
@@ -104,9 +112,13 @@ def stage2_criterion(
     T = tgt_boxes.shape[1]
     tq = match.tgt2query
     tv = match.tgt_valid
-    vf = tv.astype(pred_boxes.dtype)
+    matched = match.matched if match.matched is not None else tv
+    vf = tv.astype(pred_boxes.dtype)  # valid targets: num_boxes normalization
+    mf = matched.astype(pred_boxes.dtype)  # matched pairs: pair losses
 
     if num_boxes is None:
+        # reference num_boxes = sum(len(t["labels"])) — ALL valid targets,
+        # including ones beyond the query budget (anchor_detr.py:318-325)
         num_boxes = jnp.maximum(vf.sum(), 1.0)
 
     # ---- focal classification loss (reference :166-197) -------------------
@@ -116,7 +128,7 @@ def stage2_criterion(
     # queries keep an explicit background one-hot at class index 1
     # (anchor_detr.py:174-187). Matched queries scatter their label (0).
     bg_class = C - 1
-    q_idx = jnp.where(tv, tq, Q)  # padded targets scatter to the extra row
+    q_idx = jnp.where(matched, tq, Q)  # unmatched targets scatter to the extra row
     target_classes = jnp.full((B, Q + 1), bg_class, dtype=jnp.int32)
     b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
     target_classes = target_classes.at[b_idx, q_idx].set(
@@ -134,28 +146,28 @@ def stage2_criterion(
 
     # ---- box losses on matched pairs (reference :213-234) -----------------
     src_boxes = jnp.take_along_axis(pred_boxes, tq[..., None], axis=1)  # (B, T, 4)
-    l1 = jnp.abs(src_boxes - tgt_boxes) * vf[..., None]
+    l1 = jnp.abs(src_boxes - tgt_boxes) * mf[..., None]
     loss_bbox = l1.sum() / num_boxes
 
     giou = box_ops.generalized_box_iou_aligned(
         box_ops.box_cxcywh_to_xyxy(src_boxes), box_ops.box_cxcywh_to_xyxy(tgt_boxes)
     )
-    loss_giou = ((1.0 - giou) * vf).sum() / num_boxes
+    loss_giou = ((1.0 - giou) * mf).sum() / num_boxes
 
     # ---- Laplace variance loss (reference :264-289) -----------------------
     # The reference computes F.l1_loss(src_wh, tgt_wh) — a SCALAR mean over
     # the matched set — then divides it by each |sigma| and adds |log sigma|:
     #   sum_i [ meanL1_w/|sw_i| + |log sw_i| + meanL1_h/|sh_i| + |log sh_i| ] / num_boxes
     src_vars = jnp.take_along_axis(pred_vars, tq[..., None], axis=1)  # (B, T, 2)
-    n_matched = jnp.maximum(vf.sum(), 1.0)
-    mean_l1_wh = (jnp.abs(src_boxes[..., 2:] - tgt_boxes[..., 2:]) * vf[..., None]).sum(
+    n_matched = jnp.maximum(mf.sum(), 1.0)
+    mean_l1_wh = (jnp.abs(src_boxes[..., 2:] - tgt_boxes[..., 2:]) * mf[..., None]).sum(
         axis=(0, 1)
     ) / n_matched  # (2,)
     abs_var = jnp.abs(src_vars)
     per_t = mean_l1_wh / jnp.maximum(abs_var, 1e-8) + jnp.abs(
         jnp.log(jnp.maximum(abs_var, 1e-8))
     )  # (B, T, 2)
-    loss_variance = (per_t.sum(-1) * vf).sum() / num_boxes
+    loss_variance = (per_t.sum(-1) * mf).sum() / num_boxes
 
     # ---- cardinality (log-only, no gradient; reference :199-211) ----------
     card_pred = (jnp.argmax(pred_logits, axis=-1) != C - 1).sum(axis=1)
@@ -169,7 +181,7 @@ def stage2_criterion(
     correct = (
         jnp.argmax(matched_logits, axis=-1) == tgt_labels.astype(jnp.int32)
     ).astype(jnp.float32)
-    acc = (correct * vf).sum() / jnp.maximum(vf.sum(), 1.0)
+    acc = (correct * mf).sum() / jnp.maximum(mf.sum(), 1.0)
     class_error = 100.0 * (1.0 - acc)
 
     return {

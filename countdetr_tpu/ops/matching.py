@@ -19,8 +19,12 @@ asymmetric problem (eps-scaling with carried prices loses the guarantee when
 T < Q: unassigned objects keep stale prices).
 
 Interface: costs are (Q, T) like the reference's (num_queries, num_targets)
-matrix; every valid target gets a distinct query (requires T <= Q — the
-batcher's max_boxes must not exceed the query count).
+matrix. When T <= Q every valid target gets a distinct query. When T > Q
+(FSC-147 train images run to ~3.7k dots vs 576 grid queries) the reference's
+scipy LAP assigns the best min(Q, T) pairs (reference 2nd-stage
+matcher.py:243-246 on the rectangular matrix); here the Q most promising
+targets (cheapest min-cost over queries) enter a square auction and the rest
+stay unmatched — `matched` marks which target slots got a query.
 """
 
 from __future__ import annotations
@@ -99,18 +103,48 @@ def auction_lap(
     tgt_valid: jnp.ndarray,  # (T,) bool
     eps_frac: float = 1e-3,
     iters_cap: int | None = None,
-) -> jnp.ndarray:
-    """Assign each valid target a distinct query, minimizing total cost over
-    valid targets (within T * eps of optimal). Returns tgt2query (T,) int32
-    (0 for invalid slots)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Assign distinct queries to targets, minimizing total cost (within
+    T * eps of optimal). Returns (tgt2query (T,) int32, matched (T,) bool).
+
+    T <= Q: every valid target is matched (matched == tgt_valid).
+    T > Q: rectangular-LAP semantics — only min(Q, #valid) targets can get
+    a query; the Q cheapest-by-best-query targets enter a square auction
+    (matching the reference's scipy behavior on rectangular costs,
+    2nd-stage matcher.py:243-246) and `matched` marks the winners.
+    """
     Q, T = cost.shape
-    assert T <= Q, "need at least as many queries as target slots"
+    if T <= Q:
+        span = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-3)
+        benefit = jnp.where(tgt_valid[:, None], -cost.T, 0.0)  # (T, Q)
+        if iters_cap is None:
+            iters_cap = 16 * T + 2048
+        assigned = _auction(benefit, tgt_valid, span * eps_frac, iters_cap)
+        return jnp.where(tgt_valid, jnp.clip(assigned, 0), 0), tgt_valid
+
+    # T > Q: transpose the auction — queries become the bidders (persons),
+    # targets the objects. Every query wins a distinct target, so exactly
+    # min(Q, #valid) valid targets end up matched — the rectangular-LAP
+    # optimum the reference's scipy call computes. Invalid target slots act
+    # as uniformly-terrible dummy objects (value -big, below any reachable
+    # price) that absorb overflow queries when #valid < Q.
     span = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-3)
-    benefit = jnp.where(tgt_valid[:, None], -cost.T, 0.0)  # (T, Q)
+    eps = span * eps_frac
+    big = (span + eps) * (Q + 2)  # above the max possible price escalation
+    benefit = jnp.where(tgt_valid[None, :], -cost, -big)
     if iters_cap is None:
         iters_cap = 16 * T + 2048
-    assigned = _auction(benefit, tgt_valid, span * eps_frac, iters_cap)
-    return jnp.where(tgt_valid, jnp.clip(assigned, 0), 0)
+    assigned = _auction(
+        benefit, jnp.ones((Q,), bool), eps, iters_cap
+    )  # (Q,) target index per query
+    q_of_t = jnp.full((T + 1,), -1, jnp.int32)
+    t_scatter = jnp.where(assigned >= 0, assigned, T)
+    q_of_t = q_of_t.at[t_scatter].set(
+        jnp.arange(Q, dtype=jnp.int32), mode="drop"
+    )[:T]
+    matched = (q_of_t >= 0) & tgt_valid
+    tgt2query = jnp.where(matched, jnp.clip(q_of_t, 0), 0)
+    return tgt2query, matched
 
 
 @functools.partial(jax.jit, static_argnames=("eps_frac",))
@@ -118,8 +152,11 @@ def batched_match(
     cost: jnp.ndarray,  # (B, Q, T)
     tgt_valid: jnp.ndarray,  # (B, T) bool
     eps_frac: float = 1e-3,
-) -> jnp.ndarray:
-    """vmapped auction over the batch. Returns tgt2query (B, T) int32."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmapped auction over the batch.
+
+    Returns (tgt2query (B, T) int32, matched (B, T) bool); matched ==
+    tgt_valid when T <= Q, a subset of it otherwise."""
     return jax.vmap(lambda c, v: auction_lap(c, v, eps_frac=eps_frac))(
         cost, tgt_valid
     )
@@ -127,7 +164,9 @@ def batched_match(
 
 def scipy_match(cost, tgt_valid) -> Tuple:
     """Host-side exact LAP for parity tests (what the reference does per
-    image at matcher.py:243-246). NOT for the training hot path."""
+    image at matcher.py:243-246). Handles rectangular costs (T > Q) the way
+    scipy does: min(Q, #valid) optimal pairs. Returns (tgt2query (B, T),
+    matched (B, T)). NOT for the training hot path."""
     import numpy as np
     from scipy.optimize import linear_sum_assignment
 
@@ -135,13 +174,15 @@ def scipy_match(cost, tgt_valid) -> Tuple:
     tgt_valid = np.asarray(tgt_valid)
     B, Q, T = cost.shape
     out = np.zeros((B, T), dtype=np.int32)
+    matched = np.zeros((B, T), dtype=bool)
     for b in range(B):
         t_idx = np.nonzero(tgt_valid[b])[0]
         if len(t_idx) == 0:
             continue
         rows, cols = linear_sum_assignment(cost[b][:, t_idx])
         out[b, t_idx[cols]] = rows.astype(np.int32)
-    return out
+        matched[b, t_idx[cols]] = True
+    return out, matched
 
 
 # ---------------------------------------------------------------------------

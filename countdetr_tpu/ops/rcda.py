@@ -178,7 +178,12 @@ def mha_attention(
 
     attn = jnp.einsum("blnd,bsnd->bnls", q, k, preferred_element_type=jnp.float32)
     if key_padding_mask is not None:
-        attn = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, attn)
+        # Finite large-negative bias, NOT -inf: rows whose keys are ALL
+        # padding (e.g. batch-padding rows where points_valid is entirely
+        # False) must produce a uniform softmax instead of NaN — a single
+        # remainder batch would otherwise poison the params permanently
+        # (0 * NaN = NaN survives the loss masking).
+        attn = jnp.where(key_padding_mask[:, None, None, :], -1e30, attn)
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     out = jnp.einsum("bnls,bsnd->blnd", attn, v).reshape(B, L, E)
     return out @ out_proj_weight.T + out_proj_bias

@@ -59,12 +59,20 @@ def generate_pseudo_labels(
     """Stage-1 pseudo-GT emission (reference engine.py:123-187): run the
     point-regressor over every annotated point, denormalize, write a
     COCO-format JSON whose bbox is [x_center, y_center, w, h] (explicit
-    box_format='cxcywh' — the reference leaves this implicit)."""
+    box_format='cxcywh' — the reference leaves this implicit).
+
+    Point-count tiers keep EVERY annotated point (the reference emits a
+    pseudo box per point, engine.py:145-155; truncating at max_points would
+    silently drop pseudo boxes on exactly the dense images that dominate
+    counting error). A few capacities bound recompiles."""
+    mp = cfg.data.max_points
+    tiers = tuple(sorted({min(mp, 128), mp, max(8 * mp, 4096)}))
     batcher = Batcher(
         dataset,
         cfg.data.batch_size,
         cfg.data.buckets,
         max_points=cfg.data.max_points,
+        point_tiers=tiers,
     )
     images: List[Dict] = []
     annotations: List[Dict] = []
@@ -177,7 +185,13 @@ def infer_detections(
                     "image_id": img_id,
                     "image_name": m.get("image_name"),
                     "count_pred": int(keep.sum()),
-                    "count_gt": int(pts_valid[i].sum()) if pts_valid is not None else None,
+                    # untruncated annotation count (meta n_points), NOT the
+                    # padded points_valid sum — dense images can exceed
+                    # max_points and their GT count must not deflate
+                    "count_gt": (
+                        int(m["n_points"]) if m.get("n_points") else
+                        (int(pts_valid[i].sum()) if pts_valid is not None else None)
+                    ),
                     "threshold": thr,
                     "boxes_cxcywh_px": kept_boxes,
                     "scores": kept_scores,

@@ -75,14 +75,14 @@ def stage2_loss(model, params, batch, cfg: Config):
         )
         return matching.batched_match(cost, batch["boxes_valid"])
 
-    tgt2query = match(out["pred_logits"], out["pred_boxes"])
+    tgt2query, matched = match(out["pred_logits"], out["pred_boxes"])
     parts = loss_ops.stage2_criterion(
         out["pred_logits"],
         out["pred_boxes"],
         out["pred_vars"],
         batch["boxes"],
         batch["labels"],
-        MatchedTargets(tgt2query, batch["boxes_valid"]),
+        MatchedTargets(tgt2query, batch["boxes_valid"], matched),
         focal_alpha=t.focal_alpha,
         batch_valid=batch.get("batch_valid"),
     )
@@ -98,7 +98,7 @@ def stage2_loss(model, params, batch, cfg: Config):
     # outputs since only the last layer has the var head wired to the loss)
     if cfg.model.aux_loss and "aux_outputs" in out:
         for i, aux in enumerate(out["aux_outputs"]):
-            tq_i = match(aux["pred_logits"], aux["pred_boxes"])
+            tq_i, matched_i = match(aux["pred_logits"], aux["pred_boxes"])
             dummy_vars = jnp.ones_like(out["pred_vars"])
             p_i = loss_ops.stage2_criterion(
                 aux["pred_logits"],
@@ -106,7 +106,7 @@ def stage2_loss(model, params, batch, cfg: Config):
                 dummy_vars,
                 batch["boxes"],
                 batch["labels"],
-                MatchedTargets(tq_i, batch["boxes_valid"]),
+                MatchedTargets(tq_i, batch["boxes_valid"], matched_i),
                 focal_alpha=t.focal_alpha,
                 batch_valid=batch.get("batch_valid"),
             )

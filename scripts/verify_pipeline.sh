@@ -21,14 +21,14 @@ echo "=== STAGE 2 TRAIN ==="
 python -m countdetr_tpu.cli.main --stage 2 --dataset_file fscd_147 \
   --spatial_prior grid --num_query_position 25 --num_query_pattern 1 --no_aux_loss $TINY \
   --data_path /tmp/verify_data --output_dir /tmp/verify_out2 \
-  --batch_size 3 --epochs 2 --lr 1e-3 --buckets 96x128 --max_boxes 16 --max_points 16 --log_every 1 2>&1 | grep -v WARNING | tail -5 || exit 1
+  --batch_size 3 --epochs 2 --lr 1e-3 --buckets 96x128 --max_boxes 36 --max_points 16 --log_every 1 2>&1 | grep -v WARNING | tail -5 || exit 1
 
 echo "=== STAGE 2 INFER + EVAL ==="
 python -m countdetr_tpu.cli.main --stage 2 --dataset_file fscd_147 \
   --spatial_prior grid --num_query_position 25 --num_query_pattern 1 --no_aux_loss $TINY \
   --data_path /tmp/verify_data --output_dir /tmp/verify_out2 \
   --infer --checkpoint_path /tmp/verify_out2/checkpoints \
-  --batch_size 3 --buckets 96x128 --max_boxes 16 --max_points 16 2>&1 | grep -v WARNING | tail -30 || exit 1
+  --batch_size 3 --buckets 96x128 --max_boxes 36 --max_points 16 2>&1 | grep -v WARNING | tail -30 || exit 1
 
 echo "=== OFFLINE EVALUATOR ==="
 python -m countdetr_tpu.cli.main --stage 2 --dataset_file fscd_147 \

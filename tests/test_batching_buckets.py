@@ -38,11 +38,44 @@ def test_batcher_groups_by_bucket():
     assert len(partial) == 1
 
 
-def test_pad_to_bucket_oversize_crops():
+def test_pad_to_bucket_oversize_downscales():
+    """Oversize images are downscaled (aspect-preserving), never cropped —
+    normalized annotations stay valid under a uniform resize but not under
+    a crop."""
     img = np.ones((100, 150, 3), np.float32)
     out, mask = pad_to_bucket(img, (96, 128))
     assert out.shape == (96, 128, 3)
-    assert not mask.any()  # fully covered after crop
+    # scale = min(96/100, 128/150) = 128/150 -> content is (85, 128)
+    assert not mask[:85, :128].any()
+    assert mask[85:, :].all()
+    # content pixels keep their value, padding stays zero
+    assert np.allclose(out[:85, :128], 1.0)
+    assert np.allclose(out[85:, :], 0.0)
+
+
+def test_batcher_meta_counts_and_truncation_warning():
+    """Untruncated n_points lands in meta; truncation warns once."""
+    import warnings as _w
+
+    ds = _FakeDs()
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        batches = list(Batcher(ds, 2, ((64, 96), (96, 128)), max_points=1))
+    metas = [m for b in batches for m, v in zip(b["meta"], b["batch_valid"]) if v]
+    assert all(m["n_points"] == 2 for m in metas)
+    assert sum("dropped from the padded arrays" in str(w.message) for w in rec) == 1
+
+
+def test_batcher_point_tiers_keep_all_points():
+    ds = _FakeDs()
+    batches = list(
+        Batcher(ds, 2, ((64, 96), (96, 128)), max_points=1, point_tiers=(1, 4))
+    )
+    for b in batches:
+        # every sample's points fit its tier: valid count == n_points
+        for i, m in enumerate(b["meta"]):
+            if b["batch_valid"][i]:
+                assert b["points_valid"][i].sum() == m["n_points"]
 
 
 def test_coco_io_box_format_roundtrip(tmp_path):

@@ -1,0 +1,91 @@
+"""Randomized parity: CocoEvaluator (vectorized, countdetr_tpu.eval.coco_eval)
+vs the pycocotools-faithful oracle (tests/cocoeval_oracle.py) — SURVEY.md
+section 4 item 5, with the reference's maxDets [900, 1000, 1100]
+(reference CountDETR_147_2nd_stage/eval_all.py:516)."""
+
+import numpy as np
+import pytest
+
+from countdetr_tpu.eval.coco_eval import CocoEvaluator
+from tests import cocoeval_oracle as oracle
+
+KEYS = ["AP", "AP50", "AP75", "APs", "APm", "APl", "AR@900", "AR@1000", "AR@1100"]
+
+
+def _random_image(rng, n_gt, n_det, size=640.0, jitter=0.3):
+    """GTs across all three area ranges; dets = jittered gts + pure noise."""
+    gts = []
+    for _ in range(n_gt):
+        # areas spanning small (<32^2), medium, large (>96^2)
+        s = rng.choice([8.0, 24.0, 48.0, 80.0, 120.0, 200.0])
+        w = s * rng.uniform(0.5, 1.5)
+        h = s * rng.uniform(0.5, 1.5)
+        x = rng.uniform(0, size - w)
+        y = rng.uniform(0, size - h)
+        gts.append([x, y, w, h])
+    gts = np.array(gts, np.float64).reshape(-1, 4)
+    dets, scores = [], []
+    for g in gts[: int(n_gt * 0.8)]:
+        d = g * (1.0 + rng.uniform(-jitter, jitter, 4))
+        dets.append(d)
+        scores.append(rng.uniform(0.3, 1.0))
+    for _ in range(n_det - len(dets)):
+        w, h = rng.uniform(5, 150, 2)
+        dets.append([rng.uniform(0, size - w), rng.uniform(0, size - h), w, h])
+        scores.append(rng.uniform(0.0, 0.9))
+    dets = np.array(dets, np.float64).reshape(-1, 4)
+    scores = np.array(scores, np.float64)
+    return dets, scores, gts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_evaluator_matches_pycocotools_semantics(seed):
+    rng = np.random.default_rng(seed)
+    images = []
+    ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+    for _ in range(6):
+        n_gt = int(rng.integers(0, 15))
+        n_det = int(rng.integers(0, 25))
+        d, s, g = _random_image(rng, n_gt, n_det)
+        images.append((d, s, g))
+        ev.add_image(d, s, g)
+    got = ev.summarize()
+    want = oracle.summarize(images)
+    for k in KEYS:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), (k, got[k], want[k])
+
+
+def test_evaluator_matches_oracle_ignored_gt_before_real():
+    """The exact failure mode of the old break rule: an area-ignored gt that
+    appears BEFORE a real gt in annotation order, with a det overlapping
+    both. pycocotools sorts gts ignore-last, so the det must match the real
+    gt, not abort at the ignored one."""
+    # gt0: tiny (small-range) box listed first; gt1: large box
+    gts = np.array([[10, 10, 8, 8], [5, 5, 120, 120]], np.float64)
+    # det overlaps both; IoU with gt1 is high
+    dets = np.array([[6, 6, 118, 118]], np.float64)
+    scores = np.array([0.9])
+
+    ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+    ev.add_image(dets, scores, gts)
+    got = ev.summarize()
+    want = oracle.summarize([(dets, scores, gts)])
+    for k in KEYS:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), (k, got[k], want[k])
+    # in the 'large' area range the small gt is ignored and the det matches
+    # the large gt -> APl must be perfect
+    assert got["APl"] == pytest.approx(1.0)
+
+
+def test_evaluator_matches_oracle_maxdet_truncation():
+    rng = np.random.default_rng(7)
+    ev = CocoEvaluator(max_dets=(2, 5, 8))
+    images = []
+    for _ in range(3):
+        d, s, g = _random_image(rng, 6, 12)
+        images.append((d, s, g))
+        ev.add_image(d, s, g)
+    got = ev.summarize()
+    want = oracle.summarize(images, max_dets=(2, 5, 8))
+    for k in ["AP", "AP50", "AP75", "APs", "APm", "APl", "AR@2", "AR@5", "AR@8"]:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), (k, got[k], want[k])

@@ -83,21 +83,25 @@ def test_full_pipeline(data_root, tmp_path):
         assert len(pj["annotations"]) >= 4 * len(ds_p)
 
     # ---- stage 2: train the detector on pseudo boxes -----------------------
+    # max_boxes (36) > num queries (5x5 grid = 25): the production default
+    # geometry has the same relation (700 target slots vs 576 grid queries),
+    # exercising the rectangular T > Q matching path end-to-end.
     cfg2 = cfglib.stage2_config()
     cfg2 = cfg2.replace(
         model=cfg2.model.replace(num_query_position=25, **TINY),
         data=cfg2.data.replace(
             data_path=data_root, batch_size=3, buckets=BUCKETS,
-            max_boxes=16, max_points=16,
+            max_boxes=36, max_points=16,
         ),
         train=cfg2.train.replace(lr=1e-3, epochs=2),
     )
+    assert cfg2.data.max_boxes > cfg2.model.num_queries
     model2 = CountingDetr(cfg2.model)
     ds2 = FSC147Pseudo(
         data_root, "train",
         pseudo_file=os.path.join(out_dir, "annotations", "pseudo_bbox_train.json"),
     )
-    b2 = Batcher(ds2, 3, BUCKETS, max_boxes=16, shuffle=True)
+    b2 = Batcher(ds2, 3, BUCKETS, max_boxes=36, shuffle=True)
     params2 = model2.init(
         jax.random.PRNGKey(1),
         np.zeros((B, H, W, 3), np.float32),

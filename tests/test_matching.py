@@ -19,7 +19,9 @@ def test_auction_matches_scipy_optimum_random(rng):
     valid[0, 20:] = False  # some padding
     valid[1, 5:] = False
 
-    got = np.asarray(matching.batched_match(jnp.array(cost), jnp.array(valid)))
+    got, matched = matching.batched_match(jnp.array(cost), jnp.array(valid))
+    got, matched = np.asarray(got), np.asarray(matched)
+    assert (matched == valid).all()  # T <= Q: every valid target matched
     for b in range(B):
         t_idx = np.nonzero(valid[b])[0]
         rows, cols = linear_sum_assignment(cost[b][:, t_idx])
@@ -42,7 +44,8 @@ def test_auction_realistic_detr_costs(rng):
     valid = np.ones((B, T), dtype=bool)
     valid[1, 33:] = False
 
-    got = np.asarray(matching.batched_match(jnp.array(cost), jnp.array(valid)))
+    got, _ = matching.batched_match(jnp.array(cost), jnp.array(valid))
+    got = np.asarray(got)
     for b in range(B):
         t_idx = np.nonzero(valid[b])[0]
         rows, cols = linear_sum_assignment(cost[b][:, t_idx])
@@ -54,12 +57,63 @@ def test_auction_realistic_detr_costs(rng):
 def test_auction_all_invalid():
     cost = jnp.zeros((1, 5, 3))
     valid = jnp.zeros((1, 3), dtype=bool)
-    got = np.asarray(matching.batched_match(cost, valid))
-    assert got.shape == (1, 3)
+    got, matched = matching.batched_match(cost, valid)
+    assert np.asarray(got).shape == (1, 3)
+    assert not np.asarray(matched).any()
 
 
 def test_auction_single_target():
     cost = np.array([[[3.0], [1.0], [2.0]]], dtype=np.float32)  # (1, 3, 1)
     valid = np.ones((1, 1), dtype=bool)
-    got = np.asarray(matching.batched_match(jnp.array(cost), jnp.array(valid)))
-    assert got[0, 0] == 1  # cheapest query
+    got, _ = matching.batched_match(jnp.array(cost), jnp.array(valid))
+    assert np.asarray(got)[0, 0] == 1  # cheapest query
+
+
+def test_auction_more_targets_than_queries(rng):
+    """T > Q: rectangular-LAP semantics — exactly min(Q, #valid) targets get
+    distinct queries and the total matched cost is near the scipy optimum
+    (the reference's scipy LAP on the rectangular matrix,
+    2nd-stage matcher.py:243-246)."""
+    B, Q, T = 3, 12, 40
+    cost = rng.normal(size=(B, Q, T)).astype(np.float32) * 5
+    valid = np.ones((B, T), dtype=bool)
+    valid[1, 30:] = False  # still more valid than queries
+    valid[2, 6:] = False  # fewer valid than queries
+
+    got, matched = matching.batched_match(jnp.array(cost), jnp.array(valid))
+    got, matched = np.asarray(got), np.asarray(matched)
+    for b in range(B):
+        n_valid = valid[b].sum()
+        assert matched[b].sum() == min(Q, n_valid), (b, matched[b].sum())
+        assert not matched[b][~valid[b]].any()
+        # distinct queries among matched targets
+        assigned = got[b][matched[b]]
+        assert len(set(assigned.tolist())) == len(assigned)
+        t_idx = np.nonzero(valid[b])[0]
+        rows, cols = linear_sum_assignment(cost[b][:, t_idx])
+        opt = cost[b][:, t_idx][rows, cols].sum()
+        ours = cost[b][got[b][matched[b]], np.nonzero(matched[b])[0]].sum()
+        assert ours <= opt + 0.05 * max(1.0, abs(opt)), (b, ours, opt)
+
+
+def test_auction_t_gt_q_realistic_costs(rng):
+    """T > Q on DETR-shaped costs (spatially structured): the pre-selection
+    heuristic should be near-optimal here."""
+    B, Q, T = 2, 25, 60
+    pb = rng.uniform(0.1, 0.9, (B, Q, 2))
+    tb = rng.uniform(0.1, 0.9, (B, T, 2))
+    l1 = np.abs(pb[:, :, None] - tb[:, None, :]).sum(-1)
+    cls = rng.uniform(-1, 0, (B, Q, 1))
+    cost = (5 * l1 + 2 * cls).astype(np.float32)
+    valid = np.ones((B, T), dtype=bool)
+
+    got, matched = matching.batched_match(jnp.array(cost), jnp.array(valid))
+    got, matched = np.asarray(got), np.asarray(matched)
+    _, sp_matched = matching.scipy_match(cost, valid)
+    for b in range(B):
+        assert matched[b].sum() == Q
+        assert np.asarray(sp_matched)[b].sum() == Q
+        rows, cols = linear_sum_assignment(cost[b])
+        opt = cost[b][rows, cols].sum()
+        ours = cost[b][got[b][matched[b]], np.nonzero(matched[b])[0]].sum()
+        assert ours <= opt + 0.05 * max(1.0, abs(opt)), (b, ours, opt)

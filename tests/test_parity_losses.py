@@ -143,7 +143,7 @@ def test_matcher_vs_reference_matcher(rng):
         jnp.array(labels.astype(np.int32)),
     )
     ours = np.asarray(
-        matching.batched_match(cost, jnp.ones((B, T), dtype=bool))
+        matching.batched_match(cost, jnp.ones((B, T), dtype=bool))[0]
     )
     cost_np = np.asarray(cost)[0]
     ref_cost = sum(

@@ -88,6 +88,86 @@ def test_stage1_frozen_params_do_not_move(rng):
     assert moved_main > 0
 
 
+def test_stage2_train_step_more_targets_than_queries(rng):
+    """Dense images: more VALID targets than queries (the FSC-147 regime —
+    up to ~3.7k dots vs 576 grid queries). The default stage-2 config has
+    max_boxes=700 > 576 queries; training must run and stay finite, with
+    only min(Q, T) targets matched per image."""
+    cfg = cfglib.stage2_config()
+    cfg = cfg.replace(
+        model=_tiny(cfg.model).replace(num_query_position=16),  # 4x4 grid
+        train=cfg.train.replace(lr=1e-3),
+    )
+    Q = cfg.model.num_queries
+    model = CountingDetr(cfg.model)
+    B, H, W, T, K = 2, 64, 64, 40, 3
+    assert T > Q
+    boxes = rng.uniform(0.2, 0.7, (B, T, 4)).astype(np.float32)
+    boxes[..., 2:] = np.clip(boxes[..., 2:], 0.05, 0.25)
+    rects = rng.uniform(0.1, 0.6, (B, K, 4)).astype(np.float32)
+    rects[..., 2:] = rects[..., :2] + 0.15
+    bvalid = np.ones((B, T), dtype=bool)
+    bvalid[1, 30:] = False  # still 30 valid > 16 queries
+    batch = {
+        "images": jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "pad_mask": jnp.zeros((B, H, W), dtype=bool),
+        "boxes": jnp.array(boxes),
+        "boxes_valid": jnp.array(bvalid),
+        "exemplar_boxes": jnp.array(rects),
+        "batch_valid": jnp.ones((B,), dtype=bool),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        exemplar_boxes=batch["exemplar_boxes"],
+    )
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=100)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+
+    state, m0 = step(state, batch)
+    losses = [float(m0["loss"])]
+    for k in ("loss", "loss_ce", "loss_bbox", "loss_giou", "loss_variance"):
+        assert np.isfinite(float(m0[k])), k
+    for _ in range(5):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_stage1_all_masked_row_stays_finite(rng):
+    """Regression: a batch-padding row (points_valid all False, as produced
+    by Batcher partial batches where points_valid &= batch_valid) must NOT
+    poison training. The decoder self-attention used a -inf
+    key_padding_mask, so an all-masked row produced softmax NaN that
+    survived the loss masking (0 * NaN = NaN) and corrupted the params
+    after one step."""
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(model=_tiny(cfg.model), train=cfg.train.replace(lr=1e-3))
+    model = CountingDetr(cfg.model)
+    batch = _stage1_batch(rng)
+    pv = np.asarray(batch["points_valid"]).copy()
+    pv[1, :] = False  # row 1 is pure batch padding
+    batch["points_valid"] = jnp.array(pv)
+    batch["batch_valid"] = jnp.array([True, False])
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=100)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"])), m
+    assert np.isfinite(float(m["grad_norm"])), m
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # and a second step still trains
+    state, m2 = step(state, batch)
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_stage2_train_step(rng):
     cfg = cfglib.stage2_config()
     cfg = cfg.replace(
