@@ -186,7 +186,15 @@ def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
         if name.endswith("_point"):
             return D.FSCDLvisPoints(dp, split, sf)
         if name.endswith("_test"):
-            return D.FSCDLvisEval(dp, split, sf)
+            # stage-2 eval prefers the single-instances GT when present
+            # (reference FSCD_LVIS_Dataset_Test reads
+            # single_instances_test.json, lvis_2nd data/fscd_lvis.py:101-103)
+            single = cfg.model.stage == 2 and os.path.exists(
+                os.path.join(
+                    dp, "annotations", f"single_instances_{split}.json"
+                )
+            )
+            return D.FSCDLvisEval(dp, split, sf, single_instances=single)
         return D.FSCDLvisExemplars(dp, split, sf)
 
 

@@ -33,11 +33,34 @@ def evaluate_predictions(
     data_path: str,
     dataset: str = "fscd_147",
     split: str = "test",
+    gt_file: str | None = None,
 ) -> Dict[str, float]:
+    """Dataset-aware offline evaluation.
+
+    fscd_147 (reference eval_all.py:44-578): GT boxes from
+    {data_path}/instances_{split}.json; counting GT = number of dot
+    annotations in annotation_FSC147_384.json.
+
+    fscd_lvis (reference offline_lvis_evaluator.py:78-95,223-252): GT boxes
+    from {data_path}/annotations/instances_{split}.json with every
+    annotation rewritten to the single foreground class (our evaluator is
+    single-category, so class ids are simply ignored — same effect as the
+    reference's temp_gt.json rewrite); counting GT = number of GT box
+    annotations per image; metrics add MRE.
+    """
     preds = CocoJson(pred_path, "cxcywh")
-    gt = CocoJson(os.path.join(data_path, f"instances_{split}.json"), "xywh")
-    with open(os.path.join(data_path, "annotation_FSC147_384.json")) as f:
-        point_annos = json.load(f)
+    lvis = dataset == "fscd_lvis"
+    if gt_file is None:
+        gt_file = (
+            os.path.join(data_path, "annotations", f"instances_{split}.json")
+            if lvis
+            else os.path.join(data_path, f"instances_{split}.json")
+        )
+    gt = CocoJson(gt_file, "xywh")
+    point_annos: Dict = {}
+    if not lvis:
+        with open(os.path.join(data_path, "annotation_FSC147_384.json")) as f:
+            point_annos = json.load(f)
 
     ev = CocoEvaluator(max_dets=(900, 1000, 1100))
     gt_counts: List[int] = []
@@ -50,15 +73,23 @@ def evaluate_predictions(
             [_to_xywh(a["bbox"], preds.box_format) for a in anns], np.float64
         ).reshape(-1, 4)
         scores = np.array([a.get("score", 1.0) for a in anns], np.float64)
+        gt_anns = gt.anns_for(img_id)
         gts = np.array(
-            [_to_xywh(a["bbox"], gt.box_format) for a in gt.anns_for(img_id)],
+            [_to_xywh(a["bbox"], gt.box_format) for a in gt_anns],
             np.float64,
         ).reshape(-1, 4)
         ev.add_image(dets, scores, gts)
-        name = id2name.get(img_id) or preds.load_img(img_id).get("file_name")
-        if name in point_annos:
-            gt_counts.append(len(point_annos[name]["points"]))
-            pred_counts.append(len(anns))
+        if lvis:
+            # reference counting_dict: gt = number of GT box annotations
+            # (offline_lvis_evaluator.py:222-252)
+            if len(gt_anns):
+                gt_counts.append(len(gt_anns))
+                pred_counts.append(len(anns))
+        else:
+            name = id2name.get(img_id) or preds.load_img(img_id).get("file_name")
+            if name in point_annos:
+                gt_counts.append(len(point_annos[name]["points"]))
+                pred_counts.append(len(anns))
 
     out = ev.summarize()
     if gt_counts:

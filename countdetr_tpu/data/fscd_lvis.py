@@ -27,12 +27,14 @@ from countdetr_tpu.data.fscd147 import load_image
 
 
 class _LvisBase:
-    def __init__(self, data_path: str, split: str, scale_factor: int = 32):
+    def __init__(self, data_path: str, split: str, scale_factor: int = 32,
+                 gt_file: Optional[str] = None):
         self.data_path = data_path
         self.split = split
         self.scale_factor = scale_factor
         self.coco = CocoJson(
-            os.path.join(data_path, "annotations", f"instances_{split}.json"),
+            gt_file
+            or os.path.join(data_path, "annotations", f"instances_{split}.json"),
             "xywh",
         )
         with open(
@@ -98,7 +100,22 @@ class FSCDLvisPoints(_LvisBase):
 class FSCDLvisEval(_LvisBase):
     """Val/test with GT boxes + exemplars (reference FSCD_LVIS_Test /
     FSCD_LVIS_Dataset_Test; exemplar rects clipped to the image,
-    lvis_2nd data/fscd_lvis.py:137-145)."""
+    lvis_2nd data/fscd_lvis.py:137-145).
+
+    single_instances=True reads annotations/single_instances_{split}.json
+    instead of instances_{split}.json — the stage-2 test set the reference's
+    FSCD_LVIS_Dataset_Test uses (lvis_2nd data/fscd_lvis.py:101-103).
+    Exemplars still come positionally from count_{split}.json, matching the
+    reference's index-aligned lookup."""
+
+    def __init__(self, data_path: str, split: str, scale_factor: int = 32,
+                 single_instances: bool = False):
+        gt_file = None
+        if single_instances:
+            gt_file = os.path.join(
+                data_path, "annotations", f"single_instances_{split}.json"
+            )
+        super().__init__(data_path, split, scale_factor, gt_file=gt_file)
 
     def __getitem__(self, idx) -> Dict:
         img_id = self.image_ids[idx]

@@ -1,4 +1,4 @@
-"""Counting metrics: MAE, RMSE, NAE, SRE.
+"""Counting metrics: MAE, RMSE, NAE, SRE (and the LVIS evaluator's MRE).
 
 Formulae (reference eval_all.py:252-270 and its `evaluate`):
   err_i = |gt_i - pred_i|
@@ -6,6 +6,8 @@ Formulae (reference eval_all.py:252-270 and its `evaluate`):
   RMSE = sqrt(mean(err^2))
   NAE  = mean(err / gt)
   SRE  = sqrt(mean(err^2 / gt))
+MRE (reference offline_lvis_evaluator.py:241-252) is the same quantity as
+NAE under a different name — reported under both keys.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ def counting_metrics(gt_counts: Sequence[int], pred_counts: Sequence[int]) -> Di
         "MAE": sae / n,
         "RMSE": (sse / n) ** 0.5,
         "NAE": nae / n,
+        "MRE": nae / n,
         "SRE": (sre / n) ** 0.5,
         "images": n,
     }

@@ -64,4 +64,26 @@ def make_fscd_lvis(root: str, n_per_split=4, size=(96, 128), seed=0):
             os.path.join(root, "annotations", f"count_{split}.json"), "w"
         ) as f:
             json.dump({"annotations": count_annos}, f)
+        if split == "test":
+            # stage-2 test GT variant (reference FSCD_LVIS_Dataset_Test reads
+            # single_instances_test.json): same images, one annotation fewer
+            # per image so tests can detect which GT file was used
+            keep, seen = [], set()
+            for a in reversed(annotations):
+                if a["image_id"] in seen:
+                    keep.append(a)
+                seen.add(a["image_id"])
+            keep.reverse()
+            with open(
+                os.path.join(root, "annotations", "single_instances_test.json"),
+                "w",
+            ) as f:
+                json.dump(
+                    {
+                        "images": images,
+                        "annotations": keep,
+                        "categories": [{"name": "fg", "id": 1}],
+                    },
+                    f,
+                )
     return root

@@ -1,6 +1,7 @@
-"""FSCD-LVIS pipeline slice: stage-1 train -> pseudo-gen -> stage-2 dataset
-reads the pseudo file (config-only delta from FSCD-147, SURVEY.md section 7
-step 4)."""
+"""FSCD-LVIS pipeline: stage-1 train -> pseudo-gen -> stage-2 train on the
+pseudo file -> inference -> offline LVIS evaluation (config-only delta from
+FSCD-147, SURVEY.md section 7 step 4; stage-2 eval semantics from reference
+offline_lvis_evaluator.py)."""
 
 import json
 import os
@@ -12,7 +13,7 @@ import pytest
 from countdetr_tpu import config as cfglib
 from countdetr_tpu.data.batching import Batcher
 from countdetr_tpu.data.fscd_lvis import (
-    FSCDLvisExemplars, FSCDLvisPoints, FSCDLvisPseudo,
+    FSCDLvisEval, FSCDLvisExemplars, FSCDLvisPoints, FSCDLvisPseudo,
 )
 from countdetr_tpu.models import CountingDetr
 from countdetr_tpu.train import engine
@@ -65,8 +66,62 @@ def test_lvis_stage1_and_pseudo(tmp_path_factory, tmp_path, rng):
     assert pj["box_format"] == "cxcywh"
     assert len(pj["annotations"]) >= 3 * 4
 
-    # stage-2 LVIS dataset consumes the pseudo file
+    # ---- stage 2: train on pseudo boxes ------------------------------------
+    cfg2 = cfglib.stage2_config("fscd_lvis")
+    cfg2 = cfg2.replace(
+        model=cfg2.model.replace(num_query_position=25, **TINY),
+        data=cfg2.data.replace(
+            data_path=root, batch_size=2, buckets=BUCKETS,
+            max_boxes=12, max_points=12,
+        ),
+        train=cfg2.train.replace(lr=1e-3, epochs=1),
+    )
+    model2 = CountingDetr(cfg2.model)
     ds2 = FSCDLvisPseudo(root, "train", pseudo_file=out)
     s = ds2[0]
     assert s["boxes"].shape[1] == 4
     assert s["exemplar_boxes"].shape == (3, 4)
+    b2 = Batcher(ds2, 2, BUCKETS, max_boxes=12, shuffle=True)
+    params2 = model2.init(
+        jax.random.PRNGKey(1),
+        np.zeros((B, H, W, 3), np.float32), np.zeros((B, H, W), bool),
+        exemplar_boxes=np.tile(
+            np.array([[0.1, 0.1, 0.3, 0.3]], np.float32), (B, 3, 1)
+        ),
+    )
+    tx2 = build_optimizer(cfg2.train, params2, 2)
+    state2 = create_state(params2, tx2)
+    step2 = make_train_step(model2, tx2, cfg2)
+    state2, stats2 = engine.train_one_epoch(step2, state2, b2, None, 0, 1)
+    assert np.isfinite(stats2["loss"])
+
+    # ---- stage 2: inference on the single-instances test GT ----------------
+    ds_single = FSCDLvisEval(root, "test", single_instances=True)
+    ds_full = FSCDLvisEval(root, "test")
+    # the single-instances file has one annotation fewer per image
+    assert len(ds_single[0]["boxes"]) == len(ds_full[0]["boxes"]) - 1
+
+    fwd2 = make_forward(model2, cfg2)
+    pred_path = os.path.join(str(tmp_path), "predictions_test.json")
+    results = engine.infer_detections(
+        fwd2, state2.params, ds_single, cfg2, pred_path
+    )
+    assert len(results) == len(ds_single)
+
+    # ---- offline LVIS evaluation -------------------------------------------
+    from countdetr_tpu.cli.offline_eval import evaluate_predictions
+
+    metrics = evaluate_predictions(
+        pred_path, root, dataset="fscd_lvis", split="test"
+    )
+    for k in ("AP", "AP50", "MAE", "RMSE", "MRE", "SRE"):
+        assert k in metrics, metrics.keys()
+    assert np.isfinite(metrics["MAE"])
+    # counting GT for LVIS = number of GT box annotations (reference
+    # offline_lvis_evaluator.py:222-252); sanity: MAE uses the full
+    # instances file, whose per-image counts are n_obj
+    single = evaluate_predictions(
+        pred_path, root, dataset="fscd_lvis", split="test",
+        gt_file=os.path.join(root, "annotations", "single_instances_test.json"),
+    )
+    assert single["MAE"] != metrics["MAE"] or single["AP50"] != metrics["AP50"]
