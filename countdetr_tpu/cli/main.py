@@ -99,6 +99,14 @@ def get_args_parser():
                    help="offline evaluator: path to predictions json")
 
     # TPU additions
+    p.add_argument(
+        "--exact_replay", action="store_true",
+        help="reference-exact schedule replay: forces batch_size 1 so the "
+        "update sequence matches the reference's per-image training "
+        "(2nd stage: 1200 epochs at batch 1, var_wh_laplace_600.sh). "
+        "Without it, scale --lr linearly with batch_size from the "
+        "reference's 1e-4-at-batch-1 baseline.",
+    )
     p.add_argument("--buckets", default="384x384,384x512,384x672", type=str)
     p.add_argument("--max_points", default=700, type=int)
     p.add_argument("--max_boxes", default=700, type=int)
@@ -136,7 +144,8 @@ def config_from_args(args) -> Config:
         dataset="fscd_lvis" if "lvis" in args.dataset_file else "fscd_147",
         data_path=args.data_path,
         scale_factor=args.scale_factor,
-        batch_size=args.batch_size,
+        batch_size=1 if args.exact_replay else args.batch_size,
+        num_workers=args.num_workers,
         max_points=args.max_points,
         max_boxes=args.max_boxes,
         buckets=buckets,
@@ -221,7 +230,16 @@ def get_sha() -> str:
 
 
 def main(args):
-    print(get_sha())
+    # multi-host rendezvous first, before any backend use (the reference
+    # calls init_distributed_mode at the top of every main —
+    # main.py:139, util/misc.py:399-436); no-op without the env vars
+    from countdetr_tpu.core.mesh import (
+        gather_metrics, init_distributed, is_main_process,
+    )
+
+    init_distributed()
+    if is_main_process():
+        print(get_sha())
     if args.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -341,8 +359,12 @@ def main(args):
         train_ds, B, cfg.data.buckets,
         max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
         shuffle=True, seed=cfg.train.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
-    steps_per_epoch = max(len(train_ds) // B, 1)
+    # exact per-epoch step count (bucket fragmentation included) so the
+    # StepLR boundary lands on the true epoch edge
+    steps_per_epoch = max(batcher.num_batches(), 1)
     tx = build_optimizer(cfg.train, params, steps_per_epoch)
     state = create_state(params, tx)
 
@@ -363,21 +385,40 @@ def main(args):
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         state, stats = engine.train_one_epoch(
-            train_step, state, batcher, mesh, epoch, cfg.train.log_every
+            train_step, state, batcher, mesh, epoch, cfg.train.log_every,
+            prefetch_depth=max(args.num_workers, 1),
         )
         stats["epoch_time_s"] = time.time() - t0
         if val_ds is not None and eval_step is not None:
             vb = Batcher(
                 val_ds, B, cfg.data.buckets,
                 max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
             )
             vstats = engine.evaluate(eval_step, state.params, vb, mesh)
             stats.update({f"val_{k}": v for k, v in vstats.items()})
-        with open(log_path, "a") as f:
-            f.write(json.dumps({k: float(v) if isinstance(v, (int, float, np.floating)) else v for k, v in stats.items()}) + "\n")
-        if (epoch + 1) % cfg.train.checkpoint_every == 0 or epoch == cfg.train.epochs - 1:
-            ckpt.save_checkpoint(ckpt_dir, epoch, state, {"epoch": epoch})
-    print("training done")
+        # cross-host metric averaging (reference reduce_dict /
+        # synchronize_between_processes); identity when single-process
+        stats = {
+            **gather_metrics(
+                {k: v for k, v in stats.items()
+                 if isinstance(v, (int, float, np.floating))}
+            ),
+            **{k: v for k, v in stats.items()
+               if not isinstance(v, (int, float, np.floating))},
+        }
+        if is_main_process():
+            with open(log_path, "a") as f:
+                f.write(json.dumps({k: float(v) if isinstance(v, (int, float, np.floating)) else v for k, v in stats.items()}) + "\n")
+            if (epoch + 1) % cfg.train.checkpoint_every == 0 or epoch == cfg.train.epochs - 1:
+                # rank-0-only save (the reference's save_on_master) with the
+                # full config snapshot (reference pickles args, main.py:302-311)
+                ckpt.save_checkpoint(
+                    ckpt_dir, epoch, state, {"epoch": epoch}, cfg=cfg
+                )
+    if is_main_process():
+        print("training done")
     return state
 
 

@@ -44,11 +44,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put array leaves of a host batch with batch-dim sharding."""
+    """Device-put array leaves of a host batch with batch-dim sharding.
+
+    Multi-process: each host holds only ITS slice of the global batch (the
+    Batcher's process stride), so the global array is assembled with
+    make_array_from_process_local_data — the global batch dim is
+    local_batch * process_count."""
     sh = batch_sharding(mesh, axis)
+    multiproc = jax.process_count() > 1
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            if multiproc:
+                return jax.make_array_from_process_local_data(
+                    sh, np.asarray(x)
+                )
             return jax.device_put(x, sh)
         return x
 
@@ -56,6 +66,18 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
         k: (put(v) if not isinstance(v, (list, tuple, dict)) and k != "bucket" else v)
         for k, v in batch.items()
     }
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate every array leaf over the mesh (multi-process safe) — used
+    for params/optimizer state so jit sees global arrays on all hosts."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
+        if jax.process_count() > 1
+        else jax.device_put(x, sh),
+        tree,
+    )
 
 
 def is_main_process() -> bool:

@@ -100,6 +100,11 @@ class Batcher:
     pseudo-label generation, where dropping points would drop pseudo boxes
     (the reference processes every annotated point, engine.py:123-187). One
     compiled program per (bucket, tier) combination.
+
+    process_index/process_count: multi-host data sharding — each process
+    takes an interleaved slice of the (identically epoch-seeded) shuffled
+    order, the reference's DistributedSampler rank slice
+    (datasets/samplers.py:18-141).
     """
 
     def __init__(
@@ -113,6 +118,8 @@ class Batcher:
         seed: int = 0,
         drop_remainder: bool = False,
         point_tiers: Optional[Sequence[int]] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -123,6 +130,8 @@ class Batcher:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.point_tiers = tuple(sorted(point_tiers)) if point_tiers else None
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
         self._warned_truncation = False
 
@@ -201,11 +210,17 @@ class Batcher:
             batch["exemplar_boxes"] = np.stack(rects)
         return batch
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _order(self) -> np.ndarray:
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index :: self.process_count]
+        return order
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = self._order()
         self.epoch += 1
 
         pending: Dict[Tuple, List[Dict]] = {}
@@ -227,8 +242,29 @@ class Batcher:
                 yield self._assemble(rest, bucket, pt_cap)
 
     def __len__(self):
-        # upper bound (bucket fragmentation can add up to n_buckets batches)
-        return -(-len(self.ds) // self.bs) + len(self.buckets)
+        # upper bound (bucket fragmentation can add up to n_buckets batches);
+        # num_batches() gives the exact count when the dataset supports it
+        n = len(self._order())
+        return -(-n // self.bs) + len(self.buckets)
+
+    def num_batches(self) -> int:
+        """Exact batches per epoch for THIS process. Needs the dataset to
+        expose image_size(i) -> (h, w) post-resize (all readers do, via the
+        annotation JSON or a header-only image read); falls back to the
+        __len__ upper bound otherwise. Bucket membership is a fixed multiset,
+        so the count is shuffle-invariant."""
+        if not hasattr(self.ds, "image_size") or self.point_tiers:
+            return len(self)  # tiers add grouping keys the size scan can't see
+        counts: Dict[Tuple[int, int], int] = {}
+        for i in self._order():
+            b = pick_bucket(*self.ds.image_size(int(i)), self.buckets)
+            counts[b] = counts.get(b, 0) + 1
+        total = 0
+        for c in counts.values():
+            total += c // self.bs
+            if c % self.bs and not self.drop_remainder:
+                total += 1
+        return total
 
 
 def prefetch(it: Iterable, depth: int = 2) -> Iterator:

@@ -72,6 +72,18 @@ class FSCD147Base:
     def _image(self, name):
         return load_image(os.path.join(self.im_dir, name), self.scale_factor)
 
+    def _name(self, idx) -> str:
+        return self.data_split[idx]
+
+    def image_size(self, idx):
+        """(h, w) AFTER the /scale_factor resize, without decoding pixels
+        (PIL reads only the header for .size) — lets the Batcher count its
+        batches exactly."""
+        with Image.open(os.path.join(self.im_dir, self._name(idx))) as img:
+            w, h = img.size
+        sf = self.scale_factor
+        return sf * int(h / sf), sf * int(w / sf)
+
 
 class FSCD147Exemplars(FSCD147Base):
     """Stage-1 training: 3 exemplar centers+whs as both queries and targets
@@ -173,6 +185,9 @@ class FSC147Pseudo(FSCD147Base):
 
     def __len__(self):
         return len(self.ids)
+
+    def _name(self, idx) -> str:
+        return self.pseudo.load_img(self.ids[idx])["file_name"]
 
     def __getitem__(self, idx) -> Dict:
         img_id = self.ids[idx]

@@ -50,6 +50,16 @@ class _LvisBase:
     def _image(self, name):
         return load_image(os.path.join(self.img_dir, name), self.scale_factor)
 
+    def image_size(self, idx):
+        """(h, w) after the /scale_factor resize, from the COCO height/width
+        fields (no image decode)."""
+        info = self.coco.load_img(self.image_ids[idx])
+        sf = self.scale_factor
+        return (
+            sf * int(int(info["height"]) / sf),
+            sf * int(int(info["width"]) / sf),
+        )
+
     def _exemplars_xywh(self, idx) -> np.ndarray:
         boxes = self.count_anno["annotations"][idx]["boxes"][:3]
         return np.array(boxes, dtype=np.float32).reshape(-1, 4)
@@ -157,6 +167,7 @@ class FSCDLvisPseudo(_LvisBase):
         )
         self.pseudo = CocoJson(pseudo_file, "cxcywh")
         self.ids = self.pseudo.image_ids()
+        self.image_ids = self.ids  # image_size() indexes the pseudo set
         # count_anno is indexed positionally by the instances file order;
         # build a name -> index map for exemplar lookup
         self._name_to_idx = {

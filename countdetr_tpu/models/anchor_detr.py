@@ -129,6 +129,7 @@ class CountingDetr(nn.Module):
         points: Optional[jnp.ndarray] = None,  # (B, P, 2) for defined/sampled prior
         points_valid: Optional[jnp.ndarray] = None,  # (B, P)
         exemplar_boxes: Optional[jnp.ndarray] = None,  # (B, K, 4) xyxy norm (stage 2)
+        train: bool = False,  # enables dropout (needs a 'dropout' rng)
     ):
         cfg = self.cfg
 
@@ -190,7 +191,7 @@ class CountingDetr(nn.Module):
             raise ValueError(f"unknown spatial prior {cfg.spatial_prior}")
 
         tr = Transformer(cfg, name="transformer")(
-            src, fmask, reference_points, query_valid
+            src, fmask, reference_points, query_valid, train=train
         )
 
         cls, coord = tr["cls"], tr["coord"]

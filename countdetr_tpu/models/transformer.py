@@ -181,16 +181,21 @@ class MHAttention(nn.Module):
 
 
 class FFN(nn.Module):
-    """post-LN feed-forward block (reference transformer.py:410-424)."""
+    """post-LN feed-forward block (reference transformer.py:410-424):
+    dropout after the activation and on the block output."""
 
     d_model: int
     d_ffn: int
+    dropout: float = 0.0
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x):
         h = TorchLinear(self.d_ffn, name="linear1")(x)
         h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
         h = TorchLinear(self.d_model, name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
         x = x + h
         return nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name="norm2")(x)
 
@@ -204,6 +209,8 @@ class EncoderLayer(nn.Module):
     num_heads: int
     attention_type: str = "RCDA"
     use_pallas: bool = False
+    dropout: float = 0.0
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, src, pad_mask, posemb_row, posemb_col, posemb_2d=None):
@@ -228,9 +235,11 @@ class EncoderLayer(nn.Module):
                 key_padding_mask=pad_mask.reshape(B, H * W),
             ).reshape(B, H, W, C)
 
+        src2 = nn.Dropout(self.dropout)(src2, deterministic=self.deterministic)
         src = src + src2
         src = nn.LayerNorm(epsilon=1e-5, dtype=src.dtype, name="norm1")(src)
-        return FFN(self.d_model, self.d_ffn, name="ffn")(src)
+        return FFN(self.d_model, self.d_ffn, self.dropout,
+                   self.deterministic, name="ffn")(src)
 
 
 class LevelEncoderLayer(nn.Module):
@@ -241,6 +250,8 @@ class LevelEncoderLayer(nn.Module):
     d_model: int
     d_ffn: int
     num_heads: int
+    dropout: float = 0.0
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, src, level_emb):
@@ -251,9 +262,11 @@ class LevelEncoderLayer(nn.Module):
         x2 = MHAttention(self.d_model, self.num_heads, name="self_attn_level")(
             qk, qk, x
         )
+        x2 = nn.Dropout(self.dropout)(x2, deterministic=self.deterministic)
         x = x + x2
         x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name="norm1")(x)
-        x = FFN(self.d_model, self.d_ffn, name="ffn")(x)
+        x = FFN(self.d_model, self.d_ffn, self.dropout,
+                self.deterministic, name="ffn")(x)
         return x.reshape(B, H, W, l, C).transpose(0, 3, 1, 2, 4)
 
 
@@ -268,6 +281,8 @@ class DecoderLayer(nn.Module):
     use_pallas: bool = False
 
     num_levels: int = 1
+    dropout: float = 0.0
+    deterministic: bool = True
 
     @nn.compact
     def __call__(
@@ -290,6 +305,7 @@ class DecoderLayer(nn.Module):
         tgt2 = MHAttention(self.d_model, self.num_heads, name="self_attn")(
             q, k, tgt, key_padding_mask=q_pad
         )
+        tgt2 = nn.Dropout(self.dropout)(tgt2, deterministic=self.deterministic)
         tgt = tgt + tgt2
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm2")(tgt)
 
@@ -319,9 +335,11 @@ class DecoderLayer(nn.Module):
             # merge levels (reference transformer.py:398-399)
             tgt2 = tgt2.reshape(l, B, L, C).transpose(1, 2, 0, 3).reshape(B, L, C * l)
             tgt2 = TorchLinear(C, name="level_fc")(tgt2)
+        tgt2 = nn.Dropout(self.dropout)(tgt2, deterministic=self.deterministic)
         tgt = tgt + tgt2
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=tgt.dtype, name="norm1")(tgt)
-        return FFN(self.d_model, self.d_ffn, name="ffn")(tgt)
+        return FFN(self.d_model, self.d_ffn, self.dropout,
+                   self.deterministic, name="ffn")(tgt)
 
 
 class Transformer(nn.Module):
@@ -345,8 +363,10 @@ class Transformer(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, src, pad_mask, reference_points, query_valid=None):
+    def __call__(self, src, pad_mask, reference_points, query_valid=None,
+                 train: bool = False):
         cfg = self.cfg
+        det = not train  # dropout deterministic flag
         dt = jnp.dtype(cfg.compute_dtype)
         src = src.astype(dt)
         # multi-level input arrives as (B, l, H, W, C); levels fold into the
@@ -419,13 +439,14 @@ class Transformer(nn.Module):
         for i in range(n_spatial):
             x = enc_ctor(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
-                cfg.attention_type, cfg.use_pallas_rcda, name=f"encoder_{i}",
+                cfg.attention_type, cfg.use_pallas_rcda, cfg.dropout, det,
+                name=f"encoder_{i}",
             )(x, pad_mask, posemb_row, posemb_col, posemb_2d)
             if i < n_level_layers:
                 x5 = x.reshape(nlv, B, H, W, C).transpose(1, 0, 2, 3, 4)
                 x5 = LevelEncoderLayer(
                     cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
-                    name=f"encoder_level_{i}",
+                    cfg.dropout, det, name=f"encoder_level_{i}",
                 )(x5, level_embed)
                 x = x5.transpose(1, 0, 2, 3, 4).reshape(nlv * B, H, W, C)
 
@@ -461,7 +482,8 @@ class Transformer(nn.Module):
         for i in range(cfg.dec_layers):
             out = dec_ctor(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
-                cfg.attention_type, cfg.use_pallas_rcda, nlv, name=f"decoder_{i}",
+                cfg.attention_type, cfg.use_pallas_rcda, nlv, cfg.dropout,
+                det, name=f"decoder_{i}",
             )(
                 out, query_pos, query_pos_x, query_pos_y, x, pad_mask,
                 posemb_row, posemb_col, qvalid, posemb_2d,

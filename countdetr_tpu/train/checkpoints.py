@@ -32,7 +32,20 @@ import numpy as np
 # Orbax native checkpoints
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(directory: str, step: int, state, extra: Optional[Dict] = None):
+def config_to_dict(cfg) -> Dict:
+    """Full config snapshot as a plain JSON-able dict (the reference pickles
+    args into every checkpoint — main.py:302-311)."""
+    import dataclasses
+
+    return dataclasses.asdict(cfg)
+
+
+def save_checkpoint(
+    directory: str, step: int, state, extra: Optional[Dict] = None, cfg=None
+):
+    """Multi-process note: call from rank 0 only (the reference's
+    save_on_master, util/misc.py:394-396); cli/main guards with
+    is_main_process."""
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
@@ -43,6 +56,8 @@ def save_checkpoint(directory: str, step: int, state, extra: Optional[Dict] = No
     ckpt.wait_until_finished()
     meta = {"step": int(step)}
     meta.update(extra or {})
+    if cfg is not None:
+        meta["config"] = config_to_dict(cfg)
     with open(os.path.join(directory, f"checkpoint_{step}.meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(directory, "latest.json"), "w") as f:

@@ -25,18 +25,29 @@ from countdetr_tpu.eval.postprocess import adaptive_threshold_counting
 from countdetr_tpu.utils.logging import MetricLogger
 
 
-def train_one_epoch(train_step, state, batcher, mesh, epoch: int, log_every=100):
+def train_one_epoch(
+    train_step, state, batcher, mesh, epoch: int, log_every=100,
+    prefetch_depth: int = 2,
+):
     logger = MetricLogger(print_every=log_every, prefix=f"Epoch [{epoch}] ")
-    for batch in prefetch(iter(batcher)):
+    # Per-step NaN guard with a one-step delay: by the time step N+1 has
+    # been dispatched, step N's loss scalar is already computed on device, so
+    # fetching it costs a tiny transfer without stalling the pipeline. The
+    # reference checks every step and exits (engine.py:64-67); checking only
+    # at log steps would let up to log_every-1 NaN updates corrupt the
+    # donated state before detection.
+    prev_loss = None
+    for batch in prefetch(iter(batcher), depth=prefetch_depth):
         batch.pop("meta", None)
         batch.pop("bucket", None)
         db = shard_batch(batch, mesh) if mesh is not None else batch
         state, metrics = train_step(state, db)
-        logger.step(metrics)
-        if logger._step % log_every == 0 and not math.isfinite(
-            float(metrics["loss"])
-        ):
+        if prev_loss is not None and not math.isfinite(float(prev_loss)):
             raise FloatingPointError(f"non-finite loss at epoch {epoch}")
+        prev_loss = metrics["loss"]
+        logger.step(metrics)
+    if prev_loss is not None and not math.isfinite(float(prev_loss)):
+        raise FloatingPointError(f"non-finite loss at epoch {epoch}")
     stats = logger.summary()
     stats["epoch"] = epoch
     return state, stats

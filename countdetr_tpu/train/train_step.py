@@ -37,13 +37,15 @@ def create_state(params, tx) -> TrainState:
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
-def stage1_loss(model, params, batch, cfg: Config):
+def stage1_loss(model, params, batch, cfg: Config, rngs=None):
     out = model.apply(
         params,
         batch["images"],
         batch["pad_mask"],
         batch["points"],
         batch["points_valid"],
+        train=rngs is not None,
+        rngs=rngs,
     )
     parts = loss_ops.stage1_criterion(
         out["pred_wh"], batch["points"], batch["whs"], batch["points_valid"]
@@ -54,12 +56,14 @@ def stage1_loss(model, params, batch, cfg: Config):
     return total, parts
 
 
-def stage2_loss(model, params, batch, cfg: Config):
+def stage2_loss(model, params, batch, cfg: Config, rngs=None):
     out = model.apply(
         params,
         batch["images"],
         batch["pad_mask"],
         exemplar_boxes=batch["exemplar_boxes"],
+        train=rngs is not None,
+        rngs=rngs,
     )
     t = cfg.train
 
@@ -132,14 +136,22 @@ def _prepare_stage2_batch(batch: Dict) -> Dict:
 
 def make_train_step(model, tx, cfg: Config):
     loss_fn = stage1_loss if cfg.model.stage == 1 else stage2_loss
+    # dropout only materializes an rng stream when the rate is nonzero —
+    # the reference's published runs all use --dropout 0.0
+    use_dropout = cfg.model.dropout > 0.0
+    base_key = jax.random.PRNGKey(cfg.train.seed ^ 0x5EED)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if cfg.model.stage == 2:
             batch = _prepare_stage2_batch(batch)
+        rngs = (
+            {"dropout": jax.random.fold_in(base_key, state.step)}
+            if use_dropout else None
+        )
 
         (_, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(model, p, batch, cfg), has_aux=True
+            lambda p: loss_fn(model, p, batch, cfg, rngs), has_aux=True
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -92,3 +92,38 @@ def test_coco_io_box_format_roundtrip(tmp_path):
     # default when the key is absent
     c2 = CocoJson({"images": [], "annotations": []}, "xywh")
     assert c2.box_format == "xywh"
+
+
+def test_batcher_num_batches_exact():
+    class _SizedDs(_FakeDs):
+        def image_size(self, i):
+            return self.sizes[i]
+
+    ds = _SizedDs()
+    b = Batcher(ds, 2, ((64, 96), (96, 128)), max_points=4)
+    assert b.num_batches() == len(list(b))
+    b2 = Batcher(ds, 2, ((64, 96), (96, 128)), max_points=4, drop_remainder=True)
+    assert b2.num_batches() == len(list(b2))
+    # without image_size: falls back to the upper bound
+    b3 = Batcher(_FakeDs(), 2, ((64, 96), (96, 128)), max_points=4)
+    assert b3.num_batches() >= len(list(b3))
+
+
+def test_batcher_process_sharding_partitions():
+    """Two processes with the same seed see disjoint samples covering the
+    whole dataset (the reference DistributedSampler rank slice)."""
+    ds = _FakeDs()
+    seen = []
+    for pi in (0, 1):
+        b = Batcher(
+            ds, 1, ((64, 96), (96, 128)), max_points=4,
+            shuffle=True, seed=7, process_index=pi, process_count=2,
+        )
+        names = [
+            m["image_name"]
+            for batch in b
+            for m, v in zip(batch["meta"], batch["batch_valid"]) if v
+        ]
+        seen.append(set(names))
+    assert seen[0] & seen[1] == set()
+    assert seen[0] | seen[1] == {f"{i}.jpg" for i in range(len(ds))}

@@ -64,6 +64,8 @@ def test_torch_import_rejects_shape_mismatch(rng):
     """A wrong-shaped tensor must fail loudly, not silently broadcast."""
     import pytest
 
+pytestmark = pytest.mark.slow
+
     from countdetr_tpu.train.checkpoints import torch_state_dict_to_params
 
     template = {"params": {"transformer": {"adapt_pos1d": {

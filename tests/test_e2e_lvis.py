@@ -10,6 +10,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from countdetr_tpu import config as cfglib
 from countdetr_tpu.data.batching import Batcher
 from countdetr_tpu.data.fscd_lvis import (

@@ -11,6 +11,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from countdetr_tpu import config as cfglib
 from countdetr_tpu.core.mesh import make_mesh
 from countdetr_tpu.data.batching import Batcher

@@ -20,9 +20,9 @@ from countdetr_tpu.models import CountingDetr
 from countdetr_tpu.train.checkpoints import torch_state_dict_to_params
 from tests.ref_oracle import REF_TREES, ReferenceStage
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(REF_TREES[1]), reason="reference tree not mounted"
-)
+)]
 
 # the reference hardcodes 256-dim positional embeddings (pos2posemb1d default,
 # transformer.py:485) so hidden_dim must stay 256; shrink layers instead

@@ -14,9 +14,9 @@ from countdetr_tpu.ops import losses
 from countdetr_tpu.ops.losses import MatchedTargets
 from tests.ref_oracle import REF_TREES, ReferenceStage
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(REF_TREES[1]), reason="reference tree not mounted"
-)
+)]
 
 
 def _boxes(rng, *shape):

@@ -4,6 +4,9 @@ init, same shuffled batches, same losses; remat does not change results."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from countdetr_tpu import config as cfglib
 from countdetr_tpu.models import CountingDetr

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from countdetr_tpu import config as cfglib
 from countdetr_tpu.core.mesh import make_mesh, shard_batch
 from countdetr_tpu.models import CountingDetr

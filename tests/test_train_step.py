@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from countdetr_tpu import config as cfglib
 from countdetr_tpu.models import CountingDetr
 from countdetr_tpu.train.optimizer import build_optimizer, _label
@@ -206,3 +208,52 @@ def test_stage2_train_step(rng):
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_dropout_trains_and_is_deterministic_at_eval(rng):
+    """--dropout is honored: nonzero rate changes the train-mode forward
+    across steps (different masks) but eval/infer stays deterministic."""
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(
+        model=_tiny(cfg.model).replace(dropout=0.5),
+        train=cfg.train.replace(lr=1e-3),
+    )
+    model = CountingDetr(cfg.model)
+    batch = _stage1_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    # eval mode: no rngs needed, bitwise deterministic
+    o1 = model.apply(
+        params, batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    o2 = model.apply(
+        params, batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    assert np.array_equal(
+        np.asarray(o1["pred_logits"]), np.asarray(o2["pred_logits"])
+    )
+    # train mode: different dropout keys -> different outputs
+    t1 = model.apply(
+        params, batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"], train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    t2 = model.apply(
+        params, batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"], train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    # pred_wh is constant at init (zero-init bbox head) — compare logits
+    assert not np.array_equal(
+        np.asarray(t1["pred_logits"]), np.asarray(t2["pred_logits"])
+    )
+    # and the train step runs finite with dropout active
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=100)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
