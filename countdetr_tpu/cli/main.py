@@ -87,6 +87,11 @@ def get_args_parser():
     p.add_argument("--checkpoint_path", default="", type=str)
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--scale_factor", default=32, type=int)
+    p.add_argument(
+        "--num_sample_points", default=300, type=int,
+        help="points drawn for --spatial_prior sampled (reference "
+        "data/fsc147.py:127 hardcodes 300)",
+    )
     p.add_argument("--num_workers", default=2, type=int)
     p.add_argument("--log_every", default=100, type=int)
 
@@ -146,6 +151,9 @@ def config_from_args(args) -> Config:
         scale_factor=args.scale_factor,
         batch_size=1 if args.exact_replay else args.batch_size,
         num_workers=args.num_workers,
+        num_sampled_points=(
+            args.num_sample_points if args.spatial_prior == "sampled" else 0
+        ),
         max_points=args.max_points,
         max_boxes=args.max_boxes,
         buckets=buckets,
@@ -180,12 +188,13 @@ def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
     if cfg.data.dataset == "fscd_147":
         from countdetr_tpu.data import fscd147 as D
 
+        nsp = cfg.data.num_sampled_points
         if pseudo:
-            return D.FSC147Pseudo(dp, split, sf)
+            return D.FSC147Pseudo(dp, split, sf, num_sampled_points=nsp)
         if name.endswith("_point"):
             return D.FSCD147Points(dp, split, sf)
         if name.endswith("_test"):
-            return D.FSCD147Eval(dp, split, sf)
+            return D.FSCD147Eval(dp, split, sf, num_sampled_points=nsp)
         return D.FSCD147Exemplars(dp, split, sf)
     else:
         from countdetr_tpu.data import fscd_lvis as D
@@ -281,11 +290,19 @@ def main(args):
             np.full((B, P, 2), 0.5, np.float32), np.ones((B, P), bool),
         )
     else:
+        init_kw = {}
+        if cfg.model.spatial_prior == "sampled":
+            S = max(cfg.data.num_sampled_points, 1)
+            init_kw = dict(
+                points=np.full((B, S, 2), 0.5, np.float32),
+                points_valid=np.ones((B, S), bool),
+            )
         params = model.init(
             rng, dummy_img, dummy_mask,
             exemplar_boxes=np.tile(
                 np.array([[0.1, 0.1, 0.3, 0.3]], np.float32), (B, 3, 1)
             ),
+            **init_kw,
         )
 
     # restore / import weights

@@ -81,6 +81,10 @@ class DataConfig:
     batch_size: int = 8
     num_workers: int = 2
 
+    # 'sampled' spatial prior: points drawn per image from the density map
+    # (reference data/fsc147.py:127 — 300); 0 disables emission
+    num_sampled_points: int = 0
+
     # padded-shape capacities
     max_points: int = 700  # dot annotations per image (FSC-147 max ~3700 on train outliers; bucketized)
     max_boxes: int = 700  # pseudo/GT boxes per image for stage-2 targets

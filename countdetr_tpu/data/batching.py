@@ -162,6 +162,7 @@ class Batcher:
         batch: Dict = {"meta": [], "bucket": bucket}
         images, masks = [], []
         pts, ptsv, whs, boxes, boxesv, rects = [], [], [], [], [], []
+        sampled = []  # 'sampled' spatial prior points (fixed count per image)
         for s in samples:
             img, m = pad_to_bucket(s["image"], bucket)
             images.append(img)
@@ -186,9 +187,14 @@ class Batcher:
                 boxesv.append(v)
             if "exemplar_boxes" in s:
                 rects.append(np.asarray(s["exemplar_boxes"], dtype=np.float32))
+            if "sampled_points" in s:
+                sampled.append(
+                    np.asarray(s["sampled_points"], np.float32).reshape(-1, 2)
+                )
             meta = {
                 k: v for k, v in s.items()
-                if k not in ("image", "points", "whs", "boxes", "exemplar_boxes")
+                if k not in ("image", "points", "whs", "boxes",
+                             "exemplar_boxes", "sampled_points")
             }
             meta["n_points"] = n_points
             meta["n_boxes"] = n_boxes
@@ -208,6 +214,11 @@ class Batcher:
             batch["boxes_valid"] = np.stack(boxesv) & bv[:, None]
         if rects:
             batch["exemplar_boxes"] = np.stack(rects)
+        if sampled:
+            batch["sampled_points"] = np.stack(sampled)
+            batch["sampled_points_valid"] = np.ones(
+                batch["sampled_points"].shape[:2], dtype=bool
+            ) & bv[:, None]
         return batch
 
     def _order(self) -> np.ndarray:

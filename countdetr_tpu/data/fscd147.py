@@ -125,16 +125,45 @@ class FSCD147Points(FSCD147Base):
         }
 
 
+def _density_sampled_points(
+    name: str, points_norm: np.ndarray, density_dir: Optional[str],
+    n: int, rng,
+) -> np.ndarray:
+    """Points for the 'sampled' spatial prior (reference get_sample_points,
+    data/fsc147.py:259-284: multinomial draw proportional to a density map).
+    Prefers the FSC-147 density .npy (gt_density_map_adaptive_384_VarV2);
+    falls back to a delta map built from the dot annotations."""
+    if density_dir:
+        p = os.path.join(density_dir, os.path.splitext(name)[0] + ".npy")
+        if os.path.exists(p):
+            return sample_points_from_density(np.load(p), n, rng)
+    g = np.zeros((64, 64), np.float32)
+    for x, y in np.asarray(points_norm).reshape(-1, 2):
+        g[min(int(y * 64), 63), min(int(x * 64), 63)] += 1.0
+    return sample_points_from_density(g, n, rng)
+
+
 class FSCD147Eval(FSCD147Base):
     """Val/test with COCO GT boxes + exemplar rects (reference FSCD147_Test /
-    FSC147_Dataset_Val/Test, data/fsc147.py:105-351)."""
+    FSC147_Dataset_Val/Test, data/fsc147.py:105-351).
 
-    def __init__(self, data_path, split, scale_factor: int = 32):
+    num_sampled_points > 0 adds a 'sampled_points' array per sample for the
+    'sampled' spatial prior (reference FSC147_Dataset_Val/Test num_samples;
+    engine.py:26-33 passes them as the transformer's reference points)."""
+
+    def __init__(self, data_path, split, scale_factor: int = 32,
+                 num_sampled_points: int = 0,
+                 density_dir: Optional[str] = None, sample_seed: int = 0):
         super().__init__(data_path, split, scale_factor)
         self.gt = CocoJson(
             os.path.join(data_path, f"instances_{split}.json"), "xywh"
         )
         self.name2id = self.gt.name_to_id()
+        self.num_sampled_points = num_sampled_points
+        self.density_dir = density_dir or os.path.join(
+            data_path, "gt_density_map_adaptive_384_VarV2"
+        )
+        self.sample_seed = sample_seed
 
     def __getitem__(self, idx) -> Dict:
         name = self.data_split[idx]
@@ -154,7 +183,7 @@ class FSCD147Eval(FSCD147Base):
         rects = _exemplar_centers_whs(anno["box_examples_coordinates"]) / res4
         points = np.array(anno["points"], dtype=np.float32) / res2
 
-        return {
+        out = {
             "image": image,
             "image_name": name,
             "image_id": img_id,
@@ -163,6 +192,12 @@ class FSCD147Eval(FSCD147Base):
             "points": points,
             "orig_size": (w, h),
         }
+        if self.num_sampled_points:
+            rng = np.random.default_rng((self.sample_seed, idx))
+            out["sampled_points"] = _density_sampled_points(
+                name, points, self.density_dir, self.num_sampled_points, rng
+            )
+        return out
 
 
 class FSC147Pseudo(FSCD147Base):
@@ -171,8 +206,15 @@ class FSC147Pseudo(FSCD147Base):
     data/fsc147.py:12-102)."""
 
     def __init__(self, data_path, split, scale_factor: int = 32,
-                 pseudo_file: Optional[str] = None):
+                 pseudo_file: Optional[str] = None,
+                 num_sampled_points: int = 0,
+                 density_dir: Optional[str] = None, sample_seed: int = 0):
         super().__init__(data_path, split, scale_factor)
+        self.num_sampled_points = num_sampled_points
+        self.density_dir = density_dir or os.path.join(
+            data_path, "gt_density_map_adaptive_384_VarV2"
+        )
+        self.sample_seed = sample_seed
         pseudo_file = pseudo_file or os.path.join(
             data_path, "annotations", f"pseudo_bbox_{split}.json"
         )
@@ -204,7 +246,7 @@ class FSC147Pseudo(FSCD147Base):
         ).reshape(-1, 4) / res4  # already cxcywh
         rects = _exemplar_centers_whs(anno["box_examples_coordinates"]) / res4
 
-        return {
+        out = {
             "image": image,
             "image_name": name,
             "image_id": img_id,
@@ -212,6 +254,15 @@ class FSC147Pseudo(FSCD147Base):
             "exemplar_boxes": rects.astype(np.float32),
             "orig_size": (w, h),
         }
+        if self.num_sampled_points:
+            rng = np.random.default_rng((self.sample_seed, idx))
+            pts_norm = np.array(anno["points"], np.float32) / np.array(
+                [w, h], np.float32
+            )
+            out["sampled_points"] = _density_sampled_points(
+                name, pts_norm, self.density_dir, self.num_sampled_points, rng
+            )
+        return out
 
 
 def sample_points_from_density(

@@ -154,7 +154,15 @@ def infer_detections(
         db = shard_batch(
             {k: v for k, v in batch.items() if k not in ("meta", "bucket")}, mesh
         ) if mesh is not None else batch
-        out = forward(params, db["images"], db["pad_mask"], db["exemplar_boxes"])
+        if "sampled_points" in db:
+            out = forward(
+                params, db["images"], db["pad_mask"], db["exemplar_boxes"],
+                db["sampled_points"], db["sampled_points_valid"],
+            )
+        else:
+            out = forward(
+                params, db["images"], db["pad_mask"], db["exemplar_boxes"]
+            )
         logits = np.asarray(out["pred_logits"])
         boxes = np.asarray(out["pred_boxes"])
         refs = np.asarray(out["reference_points"])

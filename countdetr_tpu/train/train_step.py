@@ -57,10 +57,14 @@ def stage1_loss(model, params, batch, cfg: Config, rngs=None):
 
 
 def stage2_loss(model, params, batch, cfg: Config, rngs=None):
+    # 'sampled' prior: density-drawn points become the anchors (reference
+    # engine.py:26-33 passes ret['sampled_points'] into the model)
     out = model.apply(
         params,
         batch["images"],
         batch["pad_mask"],
+        points=batch.get("sampled_points"),
+        points_valid=batch.get("sampled_points_valid"),
         exemplar_boxes=batch["exemplar_boxes"],
         train=rngs is not None,
         rngs=rngs,
@@ -182,6 +186,16 @@ def make_forward(model, cfg: Config):
         @jax.jit
         def forward(params, images, pad_mask, points, points_valid):
             return model.apply(params, images, pad_mask, points, points_valid)
+
+    elif cfg.model.spatial_prior == "sampled":
+
+        @jax.jit
+        def forward(params, images, pad_mask, exemplar_boxes, points,
+                    points_valid):
+            return model.apply(
+                params, images, pad_mask, points=points,
+                points_valid=points_valid, exemplar_boxes=exemplar_boxes,
+            )
 
     else:
 

@@ -257,3 +257,47 @@ def test_dropout_trains_and_is_deterministic_at_eval(rng):
     step = make_train_step(model, tx, cfg)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_stage2_sampled_prior_trains(rng):
+    """--spatial_prior sampled: density-drawn points are the anchors
+    (reference 2nd-stage transformer.py:131-133, engine.py:26-33)."""
+    cfg = cfglib.stage2_config()
+    cfg = cfg.replace(
+        model=_tiny(cfg.model).replace(spatial_prior="sampled"),
+        train=cfg.train.replace(lr=1e-3),
+    )
+    model = CountingDetr(cfg.model)
+    B, H, W, T, K, S = 2, 64, 64, 5, 3, 12
+    boxes = rng.uniform(0.2, 0.7, (B, T, 4)).astype(np.float32)
+    boxes[..., 2:] = np.clip(boxes[..., 2:], 0.05, 0.25)
+    rects = rng.uniform(0.1, 0.6, (B, K, 4)).astype(np.float32)
+    rects[..., 2:] = rects[..., :2] + 0.15
+    batch = {
+        "images": jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "pad_mask": jnp.zeros((B, H, W), dtype=bool),
+        "boxes": jnp.array(boxes),
+        "boxes_valid": jnp.ones((B, T), dtype=bool),
+        "exemplar_boxes": jnp.array(rects),
+        "sampled_points": jnp.array(
+            rng.uniform(0.1, 0.9, (B, S, 2)).astype(np.float32)
+        ),
+        "sampled_points_valid": jnp.ones((B, S), dtype=bool),
+        "batch_valid": jnp.ones((B,), dtype=bool),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        points=batch["sampled_points"],
+        points_valid=batch["sampled_points_valid"],
+        exemplar_boxes=batch["exemplar_boxes"],
+    )
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=100)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+    state, m0 = step(state, batch)
+    losses = [float(m0["loss"])]
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
