@@ -60,6 +60,10 @@ def get_args_parser():
         "--attention_type", default="RCDA", choices=["RCDA", "nn.MultiheadAttention"]
     )
     p.add_argument("--stage", default=1, type=int, choices=[1, 2])
+    p.add_argument("--masks", action="store_true",
+                   help="attach the DETRsegm-style mask head (reference "
+                   "segmentation.py; no FSCD mask GT exists, so this only "
+                   "adds pred_masks to the outputs)")
     p.add_argument("--aux_loss", dest="aux_loss", action="store_true", default=False)
     p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
 
@@ -93,6 +97,8 @@ def get_args_parser():
         "data/fsc147.py:127 hardcodes 300)",
     )
     p.add_argument("--num_workers", default=2, type=int)
+    p.add_argument("--cache_mode", action="store_true",
+                   help="cache raw image bytes in RAM (reference --cache_mode)")
     p.add_argument("--log_every", default=100, type=int)
 
     # modes
@@ -137,6 +143,7 @@ def config_from_args(args) -> Config:
         num_query_pattern=args.num_query_pattern,
         spatial_prior=args.spatial_prior,
         stage=args.stage,
+        masks=args.masks,
         with_variance_head=args.stage == 2,
         exemplar_aggregation=args.stage == 2,
         aux_loss=args.aux_loss,
@@ -151,6 +158,7 @@ def config_from_args(args) -> Config:
         scale_factor=args.scale_factor,
         batch_size=1 if args.exact_replay else args.batch_size,
         num_workers=args.num_workers,
+        cache_mode=args.cache_mode,
         num_sampled_points=(
             args.num_sample_points if args.spatial_prior == "sampled" else 0
         ),
@@ -189,13 +197,18 @@ def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
         from countdetr_tpu.data import fscd147 as D
 
         nsp = cfg.data.num_sampled_points
+        cm = cfg.data.cache_mode
         if pseudo:
-            return D.FSC147Pseudo(dp, split, sf, num_sampled_points=nsp)
+            return D.FSC147Pseudo(
+                dp, split, sf, num_sampled_points=nsp, cache_mode=cm
+            )
         if name.endswith("_point"):
-            return D.FSCD147Points(dp, split, sf)
+            return D.FSCD147Points(dp, split, sf, cache_mode=cm)
         if name.endswith("_test"):
-            return D.FSCD147Eval(dp, split, sf, num_sampled_points=nsp)
-        return D.FSCD147Exemplars(dp, split, sf)
+            return D.FSCD147Eval(
+                dp, split, sf, num_sampled_points=nsp, cache_mode=cm
+            )
+        return D.FSCD147Exemplars(dp, split, sf, cache_mode=cm)
     else:
         from countdetr_tpu.data import fscd_lvis as D
 

@@ -40,6 +40,10 @@ class ModelConfig:
 
     num_classes: int = 2  # cls head output width (reference transformer.py:76-78)
 
+    # segmentation head (reference --masks, segmentation.py:19-60 DETRsegm —
+    # dead code in the reference's scripts but part of its capability surface)
+    masks: bool = False
+
     # stage switches
     stage: int = 1  # 1: point->wh pseudo-GT regressor; 2: uncertainty detector
     with_variance_head: bool = False  # stage-2 Laplace var head (stage2 transformer.py:82)
@@ -80,6 +84,9 @@ class DataConfig:
     scale_factor: int = 32
     batch_size: int = 8
     num_workers: int = 2
+    # in-RAM raw-bytes image cache (reference --cache_mode,
+    # torchvision_datasets/coco.py:54-73)
+    cache_mode: bool = False
 
     # 'sampled' spatial prior: points drawn per image from the density map
     # (reference data/fsc147.py:127 — 300); 0 disables emission

@@ -30,9 +30,21 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
-def load_image(path: str, scale_factor: int = 32):
-    """Returns (normalized HWC float32 image, (orig_w, orig_h))."""
-    img = Image.open(path)
+def load_image(path: str, scale_factor: int = 32, byte_cache: Optional[dict] = None):
+    """Returns (normalized HWC float32 image, (orig_w, orig_h)).
+
+    byte_cache: optional dict used as an in-RAM raw-bytes cache (the
+    reference's cache_mode CocoDetection, torchvision_datasets/coco.py:54-73
+    — decode still happens per call, disk IO is skipped)."""
+    if byte_cache is not None:
+        import io
+
+        if path not in byte_cache:
+            with open(path, "rb") as f:
+                byte_cache[path] = f.read()
+        img = Image.open(io.BytesIO(byte_cache[path]))
+    else:
+        img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
     w, h = img.size
@@ -56,7 +68,8 @@ def _exemplar_centers_whs(box_coords) -> np.ndarray:
 
 
 class FSCD147Base:
-    def __init__(self, data_path: str, split: str, scale_factor: int = 32):
+    def __init__(self, data_path: str, split: str, scale_factor: int = 32,
+                 cache_mode: bool = False):
         self.data_path = data_path
         self.split = split
         self.scale_factor = scale_factor
@@ -65,12 +78,16 @@ class FSCD147Base:
         with open(os.path.join(data_path, "Train_Test_Val_FSC_147.json")) as f:
             self.data_split = json.load(f)[split]
         self.im_dir = os.path.join(data_path, "images_384_VarV2")
+        self._byte_cache: Optional[dict] = {} if cache_mode else None
 
     def __len__(self):
         return len(self.data_split)
 
     def _image(self, name):
-        return load_image(os.path.join(self.im_dir, name), self.scale_factor)
+        return load_image(
+            os.path.join(self.im_dir, name), self.scale_factor,
+            byte_cache=self._byte_cache,
+        )
 
     def _name(self, idx) -> str:
         return self.data_split[idx]
@@ -153,8 +170,9 @@ class FSCD147Eval(FSCD147Base):
 
     def __init__(self, data_path, split, scale_factor: int = 32,
                  num_sampled_points: int = 0,
-                 density_dir: Optional[str] = None, sample_seed: int = 0):
-        super().__init__(data_path, split, scale_factor)
+                 density_dir: Optional[str] = None, sample_seed: int = 0,
+                 cache_mode: bool = False):
+        super().__init__(data_path, split, scale_factor, cache_mode)
         self.gt = CocoJson(
             os.path.join(data_path, f"instances_{split}.json"), "xywh"
         )
@@ -208,8 +226,9 @@ class FSC147Pseudo(FSCD147Base):
     def __init__(self, data_path, split, scale_factor: int = 32,
                  pseudo_file: Optional[str] = None,
                  num_sampled_points: int = 0,
-                 density_dir: Optional[str] = None, sample_seed: int = 0):
-        super().__init__(data_path, split, scale_factor)
+                 density_dir: Optional[str] = None, sample_seed: int = 0,
+                 cache_mode: bool = False):
+        super().__init__(data_path, split, scale_factor, cache_mode)
         self.num_sampled_points = num_sampled_points
         self.density_dir = density_dir or os.path.join(
             data_path, "gt_density_map_adaptive_384_VarV2"

@@ -28,7 +28,8 @@ from countdetr_tpu.data.fscd147 import load_image
 
 class _LvisBase:
     def __init__(self, data_path: str, split: str, scale_factor: int = 32,
-                 gt_file: Optional[str] = None):
+                 gt_file: Optional[str] = None, cache_mode: bool = False):
+        self._byte_cache = {} if cache_mode else None
         self.data_path = data_path
         self.split = split
         self.scale_factor = scale_factor
@@ -48,7 +49,10 @@ class _LvisBase:
         return len(self.image_ids)
 
     def _image(self, name):
-        return load_image(os.path.join(self.img_dir, name), self.scale_factor)
+        return load_image(
+            os.path.join(self.img_dir, name), self.scale_factor,
+            byte_cache=self._byte_cache,
+        )
 
     def image_size(self, idx):
         """(h, w) after the /scale_factor resize, from the COCO height/width

@@ -137,7 +137,9 @@ class CountingDetr(nn.Module):
         multi_level = cfg.num_feature_levels > 1
         feats = ResNetBackbone(
             dilation=cfg.dilation,
-            return_interm=multi_level,
+            # the mask head needs the stride-8 C3 skip (reference DETRsegm
+            # consumes the backbone's intermediate features)
+            return_interm=multi_level or cfg.masks,
             dtype=None if dt == jnp.float32 else dt,
             name="backbone",
         )(images, pad_mask)
@@ -213,4 +215,32 @@ class CountingDetr(nn.Module):
                     {"pred_logits": cls[i], "pred_boxes": coord[i]}
                     for i in range(cls.shape[0] - 1)
                 ]
+
+        if cfg.masks:
+            # DETRsegm-equivalent mask branch (reference 1st-stage
+            # segmentation.py:19-60): per-query attention maps over the
+            # encoder memory + FPN conv head with the stride-8 C3 skip.
+            from countdetr_tpu.models.segmentation import (
+                MaskHeadSmallConv, MHAttentionMap,
+            )
+
+            assert not multi_level, "mask head is defined on one level"
+            hs = tr["hs"].astype(jnp.float32)  # (B, L, C)
+            mem = tr["memory"].astype(jnp.float32)  # (B, h, w, C)
+            amaps = MHAttentionMap(
+                cfg.hidden_dim, cfg.nheads, name="bbox_attention"
+            )(hs, mem, fmask)  # (B, L, n, h, w)
+            Bq, Lq = amaps.shape[:2]
+            amaps_t = amaps.transpose(0, 1, 3, 4, 2)  # (B, L, h, w, n)
+            mem_q = jnp.broadcast_to(
+                mem[:, None], (Bq, Lq, h, w, cfg.hidden_dim)
+            )
+            x_in = jnp.concatenate([mem_q, amaps_t], axis=-1).reshape(
+                Bq * Lq, h, w, cfg.hidden_dim + cfg.nheads
+            )
+            c3 = feats[0].astype(jnp.float32)  # stride-8 skip
+            m = MaskHeadSmallConv(cfg.hidden_dim, name="mask_head")(
+                x_in, (c3,)
+            )  # (B*L, 2h, 2w)
+            out["pred_masks"] = m.reshape(Bq, Lq, *m.shape[1:])
         return out

@@ -39,7 +39,9 @@ class MHAttentionMap(nn.Module):
         kh = k.reshape(B, h, w, n, d)
         attn = jnp.einsum("bqnd,bhwnd->bqnhw", qh, kh) * (d**-0.5)
         if pad_mask is not None:
-            attn = jnp.where(pad_mask[:, None, None, :, :], -jnp.inf, attn)
+            # finite bias, not -inf: fully-padded batch rows must give a
+            # uniform softmax instead of NaN (see ops/rcda.mha_attention)
+            attn = jnp.where(pad_mask[:, None, None, :, :], -1e30, attn)
         attn = jax.nn.softmax(attn.reshape(B, Qn, n, h * w), axis=-1)
         return attn.reshape(B, Qn, n, h, w)
 

@@ -499,6 +499,8 @@ class Transformer(nn.Module):
             "cls": jnp.stack(classes),  # (D, B, L, num_classes)
             "coord": jnp.stack(coords),  # (D, B, L, 4)
             "reference_points": ref,
+            "hs": out,  # (B, L, C) last decoder hidden states (mask head)
+            "memory": x,  # (B*l, H, W, C) encoder output (mask head)
         }
         if cfg.with_variance_head:
             result["var"] = jnp.stack(variances)

@@ -72,9 +72,15 @@ def _rcda_core_einsum(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_hea
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _rcda_core_pallas(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads):
-    from countdetr_tpu.ops.pallas.rcda_kernel import fused_rcda
+    import os
 
-    return fused_rcda(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
+    from countdetr_tpu.ops.pallas.rcda_kernel import fused_rcda, fused_rcda_rank1
+
+    # rank1 (default): one full-width H*W contraction per head;
+    # v3: the two-stage short-axis form. COUNTDETR_PALLAS_VARIANT selects.
+    variant = os.environ.get("COUNTDETR_PALLAS_VARIANT", "rank1")
+    fn = fused_rcda_rank1 if variant == "rank1" else fused_rcda
+    return fn(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
 
 
 def _rcda_pallas_fwd(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads):

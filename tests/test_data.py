@@ -66,3 +66,19 @@ def test_batcher_partial_batch(data_root):
     assert batches[0]["batch_valid"].tolist() == [True, True, True, False]
     # padded sample must not contribute valid points
     assert batches[0]["points_valid"][3].sum() == 0
+
+
+def test_cache_mode_bytes_cache(tmp_path_factory, rng):
+    """cache_mode caches raw image bytes and returns identical pixels
+    (reference cached CocoDetection, torchvision_datasets/coco.py:54-73)."""
+    from tests.synth import make_fscd147
+    from countdetr_tpu.data.fscd147 import FSCD147Exemplars
+
+    root = make_fscd147(str(tmp_path_factory.mktemp("cache_mode")))
+    ds_plain = FSCD147Exemplars(root, "train")
+    ds_cached = FSCD147Exemplars(root, "train", cache_mode=True)
+    a = ds_plain[0]["image"]
+    b = ds_cached[0]["image"]
+    b2 = ds_cached[0]["image"]  # second read hits the cache
+    assert np.array_equal(a, b) and np.array_equal(b, b2)
+    assert len(ds_cached._byte_cache) == 1

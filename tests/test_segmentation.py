@@ -46,3 +46,37 @@ def test_mask_losses_and_postprocess(rng):
     assert np.isfinite(float(out["loss_dice"]))
     masks = postprocess_masks(pm, (16, 16))
     assert masks.shape == (3, 16, 16) and masks.dtype == bool
+
+
+def test_counting_detr_masks_integration(rng):
+    """--masks wires a DETRsegm-equivalent branch into CountingDetr: the
+    model emits pred_masks (B, L, 2h, 2w) and mask_losses computes on them
+    (reference segmentation.py:19-60; dead code in the reference's scripts
+    but a callable capability here)."""
+    import jax
+
+    from countdetr_tpu import config as cfglib
+    from countdetr_tpu.models import CountingDetr
+    from countdetr_tpu.models.segmentation import mask_losses
+
+    cfg = cfglib.stage1_config().model.replace(
+        enc_layers=1, dec_layers=1, hidden_dim=32, nheads=4,
+        dim_feedforward=64, masks=True,
+    )
+    model = CountingDetr(cfg)
+    B, H, W, P = 1, 64, 96, 3
+    images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    pad_mask = jnp.zeros((B, H, W), dtype=bool)
+    points = jnp.array(rng.uniform(0.2, 0.8, (B, P, 2)).astype(np.float32))
+    pvalid = jnp.ones((B, P), dtype=bool)
+    params = model.init(jax.random.PRNGKey(0), images, pad_mask, points, pvalid)
+    out = model.apply(params, images, pad_mask, points, pvalid)
+    # stride-16 features 4x6 -> one 2x upsample in the mask head
+    assert out["pred_masks"].shape == (B, P, 8, 12), out["pred_masks"].shape
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+    masks = out["pred_masks"].reshape(B * P, 8, 12)
+    tgt = jnp.array(rng.integers(0, 2, (B * P, 8, 12)).astype(np.float32))
+    losses = mask_losses(masks, tgt, jnp.ones((B * P,), bool), float(B * P))
+    assert np.isfinite(float(losses["loss_mask"]))
+    assert np.isfinite(float(losses["loss_dice"]))
