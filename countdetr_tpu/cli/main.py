@@ -108,6 +108,8 @@ def get_args_parser():
     p.add_argument("--infer", action="store_true")
     p.add_argument("--evaluate_predictions", default="", type=str,
                    help="offline evaluator: path to predictions json")
+    p.add_argument("--eval_split", default="test", choices=["val", "test"],
+                   help="GT split for --evaluate_predictions")
 
     # TPU additions
     p.add_argument(
@@ -272,7 +274,7 @@ def main(args):
 
         metrics = evaluate_predictions(
             args.evaluate_predictions, cfg.data.data_path,
-            dataset=cfg.data.dataset,
+            dataset=cfg.data.dataset, split=args.eval_split,
         )
         print(json.dumps(metrics, indent=2))
         return metrics

@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from countdetr_tpu import config as cfglib
 from countdetr_tpu.models import CountingDetr
@@ -62,10 +65,6 @@ def test_orbax_roundtrip(tmp_path, rng):
 
 def test_torch_import_rejects_shape_mismatch(rng):
     """A wrong-shaped tensor must fail loudly, not silently broadcast."""
-    import pytest
-
-pytestmark = pytest.mark.slow
-
     from countdetr_tpu.train.checkpoints import torch_state_dict_to_params
 
     template = {"params": {"transformer": {"adapt_pos1d": {
