@@ -340,10 +340,25 @@ def main(args):
     forward = make_forward(model, cfg)
 
     if args.generate_pseudo_label:
+        lvis = cfg.data.dataset == "fscd_lvis"
         for split in ("train", "val", "test"):
             ds = build_dataset(args.dataset_file + "_point", split, cfg)
-            out = os.path.join(args.output_dir, f"pseudo_bbox_{split}.json")
-            engine.generate_pseudo_labels(forward, params, ds, cfg, out, mesh)
+            # reference naming: 147 consumers read pseudo_bbox_{split}.json;
+            # LVIS consumers read pseudo_lvis_{split}_cxcywh.json and the
+            # generator also writes an xywh twin (generate_pseudo.py:26-109)
+            if lvis:
+                out = os.path.join(
+                    args.output_dir, f"pseudo_lvis_{split}_cxcywh.json"
+                )
+                xywh = os.path.join(
+                    args.output_dir, f"pseudo_lvis_{split}_xywh.json"
+                )
+            else:
+                out = os.path.join(args.output_dir, f"pseudo_bbox_{split}.json")
+                xywh = None
+            engine.generate_pseudo_labels(
+                forward, params, ds, cfg, out, mesh, also_xywh_path=xywh
+            )
             print(f"wrote {out}")
         return
 

@@ -65,7 +65,8 @@ def evaluate(eval_step, params, batcher, mesh):
 
 
 def generate_pseudo_labels(
-    forward, params, dataset, cfg: Config, out_path: str, mesh=None
+    forward, params, dataset, cfg: Config, out_path: str, mesh=None,
+    also_xywh_path: Optional[str] = None,
 ):
     """Stage-1 pseudo-GT emission (reference engine.py:123-187): run the
     point-regressor over every annotated point, denormalize, write a
@@ -129,6 +130,16 @@ def generate_pseudo_labels(
                 ann_id += 1
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     write_coco(out_path, images, annotations, box_format="cxcywh")
+    if also_xywh_path:
+        # the LVIS stage-1 generator also writes a corner-format twin
+        # (reference generate_pseudo.py:26-109)
+        xywh_annos = []
+        for a in annotations:
+            cx, cy, bw, bh = a["bbox"]
+            xa = dict(a)
+            xa["bbox"] = [int(cx - bw / 2), int(cy - bh / 2), int(bw), int(bh)]
+            xywh_annos.append(xa)
+        write_coco(also_xywh_path, images, xywh_annos, box_format="xywh")
     return out_path
 
 

