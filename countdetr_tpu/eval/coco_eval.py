@@ -58,7 +58,27 @@ def _match_image(dets, gts, gt_ignore, iou, iou_thrs, max_det):
     `break` upon reaching the ignored region is only valid under that
     ordering, otherwise an ignored gt in annotation order would abort the
     scan before better real matches.
+
+    Fast path: native/cocoeval.cpp (the COCOeval_opt-equivalent; the
+    reference evaluates through detectron2's C++ COCOeval_opt) — identical
+    outputs, this numpy loop is the oracle and fallback.
     """
+    N = min(len(dets), max_det)
+
+    from countdetr_tpu.eval import native_match
+
+    native = native_match.match_image(
+        np.asarray(iou[:N], np.float64),
+        np.asarray(gt_ignore, bool),
+        np.asarray(iou_thrs, np.float64),
+    )
+    if native is not None:
+        return native
+    return _match_image_py(dets, gts, gt_ignore, iou, iou_thrs, max_det)
+
+
+def _match_image_py(dets, gts, gt_ignore, iou, iou_thrs, max_det):
+    """Pure-numpy greedy matching — oracle and no-toolchain fallback."""
     N = min(len(dets), max_det)
     M = iou.shape[1]
     T = len(iou_thrs)

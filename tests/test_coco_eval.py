@@ -89,3 +89,33 @@ def test_evaluator_matches_oracle_maxdet_truncation():
     want = oracle.summarize(images, max_dets=(2, 5, 8))
     for k in ["AP", "AP50", "AP75", "APs", "APm", "APl", "AR@2", "AR@5", "AR@8"]:
         assert got[k] == pytest.approx(want[k], abs=1e-9), (k, got[k], want[k])
+
+
+def test_native_matcher_matches_python(rng=None):
+    """native/cocoeval.cpp vs the numpy greedy loop: identical matches and
+    ignore flags on randomized inputs incl. ignored gts and ties."""
+    from countdetr_tpu.eval import native_match
+    from countdetr_tpu.eval.coco_eval import IOU_THRS, _match_image_py, box_iou_xywh
+
+    if not native_match.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        n_det = int(rng.integers(0, 30))
+        n_gt = int(rng.integers(0, 20))
+        d, s, g = _random_image(rng, n_gt, max(n_det, 1))
+        d = d[:n_det]
+        s = s[:n_det]
+        order = np.argsort(-s, kind="mergesort")
+        d = d[order]
+        iou = box_iou_xywh(d, g)
+        gt_ig = rng.random(n_gt) < 0.3
+        want_m, want_ig = _match_image_py(
+            s[order], g, gt_ig, iou, IOU_THRS, 1000
+        )
+        got = native_match.match_image(
+            iou.astype(np.float64), gt_ig, np.asarray(IOU_THRS)
+        )
+        assert got is not None
+        np.testing.assert_array_equal(got[0], want_m, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got[1], want_ig, err_msg=f"trial {trial}")
