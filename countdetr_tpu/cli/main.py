@@ -381,9 +381,13 @@ def main(args):
             results = engine.infer_detections(forward, params, ds, cfg, out, mesh)
             counting = engine.counting_summary(results)
             ap = evaluate_results(results, ds)
-            from countdetr_tpu.cli.offline_eval import analyze_results
+            from countdetr_tpu.cli.offline_eval import (
+                analyze_results, per_image_ap,
+            )
 
-            analyze_results(results, args.output_dir)
+            analyze_results(
+                results, args.output_dir, image_aps=per_image_ap(results, ds)
+            )
             all_metrics[split] = {**counting, **ap}
             print(split, json.dumps(all_metrics[split], indent=2))
         with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:

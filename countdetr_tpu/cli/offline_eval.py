@@ -123,13 +123,43 @@ def evaluate_results(results: List[Dict], dataset) -> Dict[str, float]:
     return ev.summarize()
 
 
+def per_image_ap(results: List[Dict], dataset) -> Dict[str, Dict[str, float]]:
+    """Per-image AP/AP50 (the reference's cal_ap,
+    evaluate_val_and_test.py:27-135, feeding each_img_infor.pkl): evaluate
+    each image as its own single-image COCO run."""
+    by_name = {}
+    for i in range(len(dataset)):
+        s = dataset[i]
+        w, h = s["orig_size"]
+        cxcywh = s["boxes"] * np.array([w, h, w, h], np.float32)
+        by_name[s.get("image_name", i)] = np.concatenate(
+            [cxcywh[:, :2] - cxcywh[:, 2:] / 2.0, cxcywh[:, 2:]], axis=1
+        )
+    out: Dict[str, Dict[str, float]] = {}
+    for r in results:
+        gts = by_name.get(r.get("image_name"))
+        if gts is None:
+            continue
+        cxcywh = np.asarray(r["boxes_cxcywh_px"], np.float64).reshape(-1, 4)
+        xywh = np.concatenate(
+            [cxcywh[:, :2] - cxcywh[:, 2:] / 2.0, cxcywh[:, 2:]], axis=1
+        )
+        ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+        ev.add_image(xywh, np.asarray(r["scores"]), gts)
+        s = ev.summarize()
+        out[r["image_name"]] = {"AP": s["AP"], "AP50": s["AP50"]}
+    return out
+
+
 def analyze_results(
-    results, out_dir: str = "", worst_k: int = 20
+    results, out_dir: str = "", worst_k: int = 20, image_aps=None
 ):
     """Sort per-image results by |count error| (reference
     scripts/analyze_res.py:10-54 sorts the each_img_infor.pkl by AP/count
-    diff for inspection). Returns the worst images; optionally writes a
-    JSON report."""
+    diff for inspection). Writes the full per-image report
+    (each_img_info.json — the reference's each_img_infor.pkl) and the worst
+    images; image_aps from per_image_ap() adds AP columns."""
+    image_aps = image_aps or {}
     scored = [
         {
             "image_name": r.get("image_name"),
@@ -137,6 +167,7 @@ def analyze_results(
             "count_gt": r.get("count_gt"),
             "count_pred": r.get("count_pred"),
             "abs_err": abs((r.get("count_gt") or 0) - r["count_pred"]),
+            **image_aps.get(r.get("image_name"), {}),
         }
         for r in results
     ]
@@ -144,6 +175,8 @@ def analyze_results(
     worst = scored[:worst_k]
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "each_img_info.json"), "w") as f:
+            json.dump(scored, f, indent=2)
         with open(os.path.join(out_dir, "worst_images.json"), "w") as f:
             json.dump(worst, f, indent=2)
     return worst

@@ -91,3 +91,45 @@ def test_coco_eval_localization_threshold():
     m = ev.summarize()
     assert m["AP50"] > 0.9
     assert m["AP75"] == 0.0
+
+
+def test_analyze_results_and_per_image_ap(tmp_path):
+    """Per-image report (each_img_info.json, the reference's
+    each_img_infor.pkl) carries count errors + per-image AP columns and
+    ranks worst-first (reference scripts/analyze_res.py)."""
+    import json
+
+    from countdetr_tpu.cli.offline_eval import analyze_results, per_image_ap
+
+    class _Ds:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {
+                "image_name": f"{i}.jpg",
+                "orig_size": (100, 100),
+                # one normalized cxcywh GT box per image
+                "boxes": np.array([[0.5, 0.5, 0.2, 0.2]], np.float32),
+            }
+
+    results = [
+        {  # perfect prediction
+            "image_name": "0.jpg", "image_id": 0, "count_gt": 1,
+            "count_pred": 1, "scores": np.array([0.9]),
+            "boxes_cxcywh_px": np.array([[50.0, 50.0, 20.0, 20.0]]),
+        },
+        {  # badly off
+            "image_name": "1.jpg", "image_id": 1, "count_gt": 1,
+            "count_pred": 5, "scores": np.full(5, 0.5),
+            "boxes_cxcywh_px": np.tile([5.0, 5.0, 2.0, 2.0], (5, 1)),
+        },
+    ]
+    aps = per_image_ap(results, _Ds())
+    assert aps["0.jpg"]["AP50"] == 1.0
+    assert aps["1.jpg"]["AP50"] == 0.0
+    worst = analyze_results(results, str(tmp_path), image_aps=aps)
+    assert worst[0]["image_name"] == "1.jpg"  # biggest count error first
+    with open(tmp_path / "each_img_info.json") as f:
+        full = json.load(f)
+    assert len(full) == 2 and "AP50" in full[0]
