@@ -99,6 +99,11 @@ def get_args_parser():
     p.add_argument("--num_workers", default=2, type=int)
     p.add_argument("--cache_mode", action="store_true",
                    help="cache raw image bytes in RAM (reference --cache_mode)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the first training "
+                   "epoch into {output_dir}/profile (the reference's only "
+                   "tracing is compute_flops_and_speeds.py; see also "
+                   "cli/bench.py --mode flops)")
     p.add_argument("--log_every", default=100, type=int)
 
     # modes
@@ -433,13 +438,21 @@ def main(args):
     eval_step = make_eval_step(model, cfg) if val_ds is not None else None
     log_path = os.path.join(args.output_dir, "log.txt")
 
+    profiling = False
     for epoch in range(start_epoch, cfg.train.epochs):
+        if args.profile and epoch == start_epoch and is_main_process():
+            jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
+            profiling = True
         t0 = time.time()
         state, stats = engine.train_one_epoch(
             train_step, state, batcher, mesh, epoch, cfg.train.log_every,
             prefetch_depth=max(args.num_workers, 1),
         )
         stats["epoch_time_s"] = time.time() - t0
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profile trace: {os.path.join(args.output_dir, 'profile')}")
         if val_ds is not None and eval_step is not None:
             vb = Batcher(
                 val_ds, B, cfg.data.buckets,

@@ -99,3 +99,41 @@ def test_padding_invariance(stage1_setup):
     np.testing.assert_allclose(
         np.asarray(out["pred_logits"]), np.asarray(out2["pred_logits"]), atol=2e-5
     )
+
+
+def test_learned_prior_with_patterns(rng):
+    """'learned' spatial prior + num_query_pattern 3 (the reference's
+    AnchorDETR defaults, main.py:72-76): L = positions x patterns queries,
+    learned anchors are trainable params."""
+    cfg = _tiny(cfglib.stage1_config().model).replace(
+        spatial_prior="learned", num_query_position=7, num_query_pattern=3,
+    )
+    model = CountingDetr(cfg)
+    B, H, W = 1, 64, 64
+    images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    mask = jnp.zeros((B, H, W), dtype=bool)
+    params = model.init(jax.random.PRNGKey(0), images, mask)
+    out = model.apply(params, images, mask)
+    L = 7 * 3
+    assert out["pred_logits"].shape == (B, L, 2)
+    assert out["pred_points"].shape == (B, L, 2)
+    assert np.isfinite(np.asarray(out["pred_wh"])).all()
+    # the learned anchor positions are a parameter
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = [jax.tree_util.keystr(p) for p, _ in flat]
+    assert any("position" in n for n in names)
+
+
+def test_grid_prior_stage1(rng):
+    """grid prior at stage 1 (reference var_wh uses grid at stage 2; the
+    flag is stage-independent)."""
+    cfg = _tiny(cfglib.stage1_config().model).replace(
+        spatial_prior="grid", num_query_position=9, num_query_pattern=1,
+    )
+    model = CountingDetr(cfg)
+    B, H, W = 1, 64, 64
+    images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    mask = jnp.zeros((B, H, W), dtype=bool)
+    params = model.init(jax.random.PRNGKey(0), images, mask)
+    out = model.apply(params, images, mask)
+    assert out["pred_logits"].shape == (B, 9, 2)  # 3x3 grid
