@@ -107,6 +107,9 @@ def get_args_parser():
     p.add_argument("--log_every", default=100, type=int)
 
     # modes
+    p.add_argument("--vis_pseudo", action="store_true",
+                   help="draw generated pseudo/predicted boxes onto images "
+                   "(reference --vis_pseudo + the evaluators' vis_res dumps)")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--generate_pseudo_label", action="store_true")
     p.add_argument("--test", action="store_true")
@@ -196,6 +199,13 @@ def config_from_args(args) -> Config:
         log_every=args.log_every,
     )
     return Config(model=model, data=data, train=train)
+
+
+def _image_dir(cfg: Config) -> str:
+    return (
+        os.path.join("images", "all_images")
+        if cfg.data.dataset == "fscd_lvis" else "images_384_VarV2"
+    )
 
 
 def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
@@ -365,6 +375,15 @@ def main(args):
                 forward, params, ds, cfg, out, mesh, also_xywh_path=xywh
             )
             print(f"wrote {out}")
+            if args.vis_pseudo:
+                from countdetr_tpu.cli.offline_eval import visualize_predictions
+
+                n = visualize_predictions(
+                    out, cfg.data.data_path,
+                    os.path.join(args.output_dir, "vis_pseudo", split),
+                    image_dir=_image_dir(cfg),
+                )
+                print(f"visualized {n} images")
         return
 
     if args.test and cfg.model.stage == 1:
@@ -372,7 +391,10 @@ def main(args):
         # (reference 1st-stage engine.py:190-265)
         ds = build_dataset(args.dataset_file + "_test", "test", cfg)
         out = os.path.join(args.output_dir, "pseudo_test_anchor_detr_v3.json")
-        engine.stage1_test(forward, params, ds, cfg, out, mesh)
+        vis = (
+            os.path.join(args.output_dir, "vis_res") if args.vis_pseudo else None
+        )
+        engine.stage1_test(forward, params, ds, cfg, out, mesh, vis_dir=vis)
         print(f"wrote {out}")
         return
 
@@ -393,6 +415,14 @@ def main(args):
             analyze_results(
                 results, args.output_dir, image_aps=per_image_ap(results, ds)
             )
+            if args.vis_pseudo:
+                from countdetr_tpu.cli.offline_eval import visualize_predictions
+
+                visualize_predictions(
+                    out, cfg.data.data_path,
+                    os.path.join(args.output_dir, "vis_res", split),
+                    image_dir=_image_dir(cfg),
+                )
             all_metrics[split] = {**counting, **ap}
             print(split, json.dumps(all_metrics[split], indent=2))
         with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
