@@ -283,6 +283,12 @@ def main(args):
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     os.makedirs(args.output_dir, exist_ok=True)
     cfg = config_from_args(args)
+    if cfg.model.spatial_prior == "sampled" and cfg.data.dataset == "fscd_lvis":
+        raise SystemExit(
+            "--spatial_prior sampled needs density-drawn points, which only "
+            "the FSCD-147 datasets emit (the reference's sampled prior is a "
+            "147 2nd-stage capability, data/fsc147.py:259-284)"
+        )
 
     if args.evaluate_predictions:
         from countdetr_tpu.cli.offline_eval import evaluate_predictions
@@ -412,8 +418,10 @@ def main(args):
                 analyze_results, per_image_ap,
             )
 
+            # per-split subdir: the val report must not be overwritten by test
             analyze_results(
-                results, args.output_dir, image_aps=per_image_ap(results, ds)
+                results, os.path.join(args.output_dir, f"report_{split}"),
+                image_aps=per_image_ap(results, ds),
             )
             if args.vis_pseudo:
                 from countdetr_tpu.cli.offline_eval import visualize_predictions
@@ -451,6 +459,17 @@ def main(args):
     # exact per-epoch step count (bucket fragmentation included) so the
     # StepLR boundary lands on the true epoch edge
     steps_per_epoch = max(batcher.num_batches(), 1)
+    if jax.process_count() > 1:
+        # SPMD lockstep: every host must run the SAME number of steps per
+        # epoch (bucket fragmentation makes per-host counts differ), and the
+        # lr schedule must use the same boundary everywhere
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.array([steps_per_epoch], np.int64)
+        )
+        steps_per_epoch = max(int(np.min(counts)), 1)
+        batcher.step_cap = steps_per_epoch
     tx = build_optimizer(cfg.train, params, steps_per_epoch)
     state = create_state(params, tx)
 
@@ -463,6 +482,18 @@ def main(args):
             state = state._replace(params=p, opt_state=o)
             start_epoch = meta.get("epoch", 0) + 1
             print(f"auto-resumed from epoch {start_epoch - 1}")
+
+    if jax.process_count() > 1:
+        # jit over a multi-host mesh needs GLOBAL arrays on every input;
+        # params/opt_state from init or restore are process-local
+        from countdetr_tpu.core.mesh import replicate
+
+        with mesh:
+            state = state._replace(
+                params=replicate(state.params, mesh),
+                opt_state=replicate(state.opt_state, mesh),
+                step=replicate(state.step, mesh),
+            )
 
     train_step = make_train_step(model, tx, cfg)
     eval_step = make_eval_step(model, cfg) if val_ds is not None else None
@@ -505,12 +536,13 @@ def main(args):
         if is_main_process():
             with open(log_path, "a") as f:
                 f.write(json.dumps({k: float(v) if isinstance(v, (int, float, np.floating)) else v for k, v in stats.items()}) + "\n")
-            if (epoch + 1) % cfg.train.checkpoint_every == 0 or epoch == cfg.train.epochs - 1:
-                # rank-0-only save (the reference's save_on_master) with the
-                # full config snapshot (reference pickles args, main.py:302-311)
-                ckpt.save_checkpoint(
-                    ckpt_dir, epoch, state, {"epoch": epoch}, cfg=cfg
-                )
+        if (epoch + 1) % cfg.train.checkpoint_every == 0 or epoch == cfg.train.epochs - 1:
+            # ALL processes call the save (Orbax saving of global arrays is
+            # a collective; rank 0 alone writes the side-car metadata —
+            # unlike the reference's torch save_on_master, main.py:302-311)
+            ckpt.save_checkpoint(
+                ckpt_dir, epoch, state, {"epoch": epoch}, cfg=cfg
+            )
     if is_main_process():
         print("training done")
     return state

@@ -97,18 +97,37 @@ def evaluate_predictions(
     return out
 
 
-def evaluate_results(results: List[Dict], dataset) -> Dict[str, float]:
-    """AP from in-memory infer results against the dataset's GT boxes.
-    results: engine.infer_detections output; dataset: an *Eval dataset."""
+def _gt_xywh_by_name(dataset) -> Dict:
+    """Pixel-space GT xywh per image name. Prefers the dataset's COCO GT
+    metadata (FSCD147Eval.gt / FSCDLvisEval.coco — no image decoding);
+    falls back to iterating samples (which decodes pixels) otherwise."""
+    coco = getattr(dataset, "gt", None) or getattr(dataset, "coco", None)
+    if coco is not None:
+        out = {}
+        for img_id in coco.image_ids():
+            info = coco.load_img(img_id)
+            b = np.array(
+                [a["bbox"] for a in coco.anns_for(img_id)], np.float64
+            ).reshape(-1, 4)
+            if coco.box_format == "cxcywh":
+                b = np.concatenate([b[:, :2] - b[:, 2:] / 2.0, b[:, 2:]], 1)
+            out[info["file_name"]] = b
+        return out
     by_name = {}
     for i in range(len(dataset)):
         s = dataset[i]
         w, h = s["orig_size"]
         cxcywh = s["boxes"] * np.array([w, h, w, h], np.float32)
-        xywh = np.concatenate(
+        by_name[s.get("image_name", i)] = np.concatenate(
             [cxcywh[:, :2] - cxcywh[:, 2:] / 2.0, cxcywh[:, 2:]], axis=1
         )
-        by_name[s.get("image_name", i)] = xywh
+    return by_name
+
+
+def evaluate_results(results: List[Dict], dataset) -> Dict[str, float]:
+    """AP from in-memory infer results against the dataset's GT boxes.
+    results: engine.infer_detections output; dataset: an *Eval dataset."""
+    by_name = _gt_xywh_by_name(dataset)
 
     ev = CocoEvaluator(max_dets=(900, 1000, 1100))
     for r in results:
@@ -126,15 +145,9 @@ def evaluate_results(results: List[Dict], dataset) -> Dict[str, float]:
 def per_image_ap(results: List[Dict], dataset) -> Dict[str, Dict[str, float]]:
     """Per-image AP/AP50 (the reference's cal_ap,
     evaluate_val_and_test.py:27-135, feeding each_img_infor.pkl): evaluate
-    each image as its own single-image COCO run."""
-    by_name = {}
-    for i in range(len(dataset)):
-        s = dataset[i]
-        w, h = s["orig_size"]
-        cxcywh = s["boxes"] * np.array([w, h, w, h], np.float32)
-        by_name[s.get("image_name", i)] = np.concatenate(
-            [cxcywh[:, :2] - cxcywh[:, 2:] / 2.0, cxcywh[:, 2:]], axis=1
-        )
+    each image as its own single-image COCO run. GT comes from the
+    dataset's COCO metadata — no second pass of image decoding."""
+    by_name = _gt_xywh_by_name(dataset)
     out: Dict[str, Dict[str, float]] = {}
     for r in results:
         gts = by_name.get(r.get("image_name"))

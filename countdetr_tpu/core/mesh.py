@@ -70,14 +70,22 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 def replicate(tree, mesh: Mesh):
     """Replicate every array leaf over the mesh (multi-process safe) — used
-    for params/optimizer state so jit sees global arrays on all hosts."""
+    for params/optimizer state so jit sees global arrays on all hosts.
+    Scalar (ndim-0) leaves — optimizer step counts etc. — go through a
+    rank-1 detour because make_array_from_process_local_data wants a
+    shaped leading dim."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
-        if jax.process_count() > 1
-        else jax.device_put(x, sh),
-        tree,
-    )
+
+    def rep(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            g = jax.make_array_from_process_local_data(sh, arr.reshape(1))
+            return g.reshape(())
+        return jax.make_array_from_process_local_data(sh, arr)
+
+    return jax.tree_util.tree_map(rep, tree)
 
 
 def is_main_process() -> bool:

@@ -101,10 +101,14 @@ class Batcher:
     (the reference processes every annotated point, engine.py:123-187). One
     compiled program per (bucket, tier) combination.
 
-    process_index/process_count: multi-host data sharding — each process
-    takes an interleaved slice of the (identically epoch-seeded) shuffled
-    order, the reference's DistributedSampler rank slice
-    (datasets/samplers.py:18-141).
+    process_index/process_count: multi-host data sharding. Membership is
+    FIXED (stride over the unshuffled index space, then shuffle within the
+    process's own subset) rather than the reference DistributedSampler's
+    shuffle-then-slice: under bucketed batching, per-epoch membership
+    changes would change each host's batch count every epoch, and SPMD
+    training needs all hosts to execute the same number of steps. step_cap
+    (set to the cross-host minimum of num_batches()) enforces exact
+    lockstep; hosts with more batches skip their surplus that epoch.
     """
 
     def __init__(
@@ -132,6 +136,7 @@ class Batcher:
         self.point_tiers = tuple(sorted(point_tiers)) if point_tiers else None
         self.process_index = process_index
         self.process_count = process_count
+        self.step_cap: Optional[int] = None
         self.epoch = 0
         self._warned_truncation = False
 
@@ -223,17 +228,19 @@ class Batcher:
 
     def _order(self) -> np.ndarray:
         order = np.arange(len(self.ds))
+        if self.process_count > 1:
+            # fixed membership (see class docstring): stride BEFORE shuffle
+            order = order[self.process_index :: self.process_count]
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
-        if self.process_count > 1:
-            order = order[self.process_index :: self.process_count]
         return order
 
     def __iter__(self) -> Iterator[Dict]:
         order = self._order()
         self.epoch += 1
 
+        emitted = 0
         pending: Dict[Tuple, List[Dict]] = {}
         for i in order:
             s = self.ds[int(i)]
@@ -248,9 +255,15 @@ class Batcher:
             pending.setdefault(key, []).append(s)
             if len(pending[key]) == self.bs:
                 yield self._assemble(pending.pop(key), bucket, pt_cap)
+                emitted += 1
+                if self.step_cap is not None and emitted >= self.step_cap:
+                    return
         for (bucket, pt_cap), rest in pending.items():
             if rest and not self.drop_remainder:
+                if self.step_cap is not None and emitted >= self.step_cap:
+                    return
                 yield self._assemble(rest, bucket, pt_cap)
+                emitted += 1
 
     def __len__(self):
         # upper bound (bucket fragmentation can add up to n_buckets batches);

@@ -89,7 +89,9 @@ def solve_batch(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
     if lib is None:
         from countdetr_tpu.ops.matching import scipy_match
 
-        return np.asarray(scipy_match(cost, valid.astype(bool)))
+        # scipy_match returns (tgt2query, matched); this contract is
+        # tgt2query only
+        return np.asarray(scipy_match(cost, valid.astype(bool))[0])
     lib.lapjv_solve_batch(
         B, Q, T,
         cost.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

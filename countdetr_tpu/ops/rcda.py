@@ -76,9 +76,11 @@ def _rcda_core_pallas(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_hea
 
     from countdetr_tpu.ops.pallas.rcda_kernel import fused_rcda, fused_rcda_rank1
 
-    # rank1 (default): one full-width H*W contraction per head;
-    # v3: the two-stage short-axis form. COUNTDETR_PALLAS_VARIANT selects.
-    variant = os.environ.get("COUNTDETR_PALLAS_VARIANT", "rank1")
+    # v3 (default): the two-stage short-axis form — the faster of the two
+    # kernels at the measured geometry (333 vs 326 img/s, PERFORMANCE.md);
+    # rank1: single full-width H*W contraction, for much larger H, W.
+    # COUNTDETR_PALLAS_VARIANT selects.
+    variant = os.environ.get("COUNTDETR_PALLAS_VARIANT", "v3")
     fn = fused_rcda_rank1 if variant == "rank1" else fused_rcda
     return fn(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
 

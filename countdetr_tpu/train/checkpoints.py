@@ -43,9 +43,11 @@ def config_to_dict(cfg) -> Dict:
 def save_checkpoint(
     directory: str, step: int, state, extra: Optional[Dict] = None, cfg=None
 ):
-    """Multi-process note: call from rank 0 only (the reference's
-    save_on_master, util/misc.py:394-396); cli/main guards with
-    is_main_process."""
+    """Multi-process note: unlike the reference's torch save_on_master
+    (util/misc.py:394-396), Orbax saving of global jax.Arrays is a
+    COLLECTIVE — every process must call this (only rank 0 writes the
+    side-car metadata files). Requires a shared filesystem across hosts.
+    """
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
@@ -54,6 +56,8 @@ def save_checkpoint(
     path = os.path.join(directory, f"checkpoint_{step}")
     ckpt.save(path, {"params": state.params, "opt_state": state.opt_state}, force=True)
     ckpt.wait_until_finished()
+    if jax.process_index() != 0:
+        return
     meta = {"step": int(step)}
     meta.update(extra or {})
     if cfg is not None:

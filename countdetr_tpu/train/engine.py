@@ -165,6 +165,12 @@ def infer_detections(
         db = shard_batch(
             {k: v for k, v in batch.items() if k not in ("meta", "bucket")}, mesh
         ) if mesh is not None else batch
+        if cfg.model.spatial_prior == "sampled" and "sampled_points" not in db:
+            raise ValueError(
+                "spatial_prior='sampled' but the dataset emitted no "
+                "'sampled_points' — use an FSCD-147 eval/pseudo dataset with "
+                "num_sampled_points > 0"
+            )
         if "sampled_points" in db:
             out = forward(
                 params, db["images"], db["pad_mask"], db["exemplar_boxes"],
@@ -309,12 +315,18 @@ def stage1_test(
 
                 os.makedirs(vis_dir, exist_ok=True)
                 img = np.asarray(batch["images"][i])
-                img = (img * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+                # content extent from the pad mask, NOT the bucket dims —
+                # boxes are in original-image pixels and must scale to the
+                # resized content region, which the bucket merely pads
+                pm = np.asarray(batch["pad_mask"][i])
+                rh = int((~pm).any(axis=1).sum())
+                rw = int((~pm).any(axis=0).sum())
+                img = (img[:rh, :rw] * IMAGENET_STD + IMAGENET_MEAN) * 255.0
                 cxcywh = np.stack(
-                    [(bxs[:, 0] + bxs[:, 2]) / 2 * img.shape[1] / w,
-                     (bxs[:, 1] + bxs[:, 3]) / 2 * img.shape[0] / h,
-                     (bxs[:, 2] - bxs[:, 0]) * img.shape[1] / w,
-                     (bxs[:, 3] - bxs[:, 1]) * img.shape[0] / h], axis=1,
+                    [(bxs[:, 0] + bxs[:, 2]) / 2 * rw / w,
+                     (bxs[:, 1] + bxs[:, 3]) / 2 * rh / h,
+                     (bxs[:, 2] - bxs[:, 0]) * rw / w,
+                     (bxs[:, 3] - bxs[:, 1]) * rh / h], axis=1,
                 )
                 vis = draw_detections(np.clip(img, 0, 255), cxcywh)
                 vis.save(os.path.join(vis_dir, m.get("image_name", f"{img_id}.jpg")))

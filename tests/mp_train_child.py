@@ -21,10 +21,13 @@ import numpy as np  # noqa: E402
 
 
 class SynthDs:
-    """4 deterministic stage-1 samples, one (64, 96) bucket."""
+    """Deterministic stage-1 samples, one (64, 96) bucket."""
+
+    def __init__(self, n=4):
+        self.n = n
 
     def __len__(self):
-        return 4
+        return self.n
 
     def __getitem__(self, i):
         rng = np.random.default_rng(100 + i)
@@ -36,9 +39,13 @@ class SynthDs:
             "image_name": f"{i}.jpg",
         }
 
+    def image_size(self, i):
+        return (64, 96)
+
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    n_samples = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     if nproc > 1:
         jax.distributed.initialize(
             f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
@@ -71,9 +78,19 @@ def main():
     # per-process local batch size x process count == global batch 4
     local_bs = 4 // nproc
     b = Batcher(
-        SynthDs(), local_bs, ((64, 96),), max_points=4,
+        SynthDs(n_samples), local_bs, ((64, 96),), max_points=4,
         process_index=pid, process_count=nproc,
     )
+    # SPMD lockstep (what cli/main does): cap every host at the cross-host
+    # minimum batch count so uneven datasets cannot deadlock an epoch
+    steps = b.num_batches()
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.array([steps], np.int64)
+        )
+        b.step_cap = max(int(np.min(counts)), 1)
 
     model = CountingDetr(cfg.model)
     params = model.init(
@@ -90,9 +107,21 @@ def main():
         state = state._replace(step=replicate(state.step, mesh))
         step = make_train_step(model, tx, cfg)
         losses = []
+        compiled = False
         for batch in b:
             batch.pop("meta"), batch.pop("bucket")
             db = shard_batch(batch, mesh)
+            if nproc > 1 and not compiled:
+                # AOT-compile BEFORE the first execution, then rendezvous:
+                # the train step's first run forms a fresh Gloo context
+                # whose 30 s key exchange cannot absorb per-process compile
+                # skew (one process hits the persistent cache, the other
+                # compiles cold for minutes on a contended host)
+                step.lower(state, db).compile()
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("train-compiled")
+                compiled = True
             state, metrics = step(state, db)
             losses.append(float(metrics["loss"]))
     print(f"RESULT pid={pid} losses={','.join(f'{l:.8f}' for l in losses)}",

@@ -8,9 +8,14 @@ import numpy as np
 from PIL import Image
 
 
-def make_fscd147(root: str, n_train=6, n_val=3, n_test=3, size=(96, 128), seed=0):
+def make_fscd147(root: str, n_train=6, n_val=3, n_test=3, size=(96, 128), seed=0,
+                 fixed_obj_size=None):
     """Writes a miniature FSCD-147 tree; images contain bright square 'objects'
-    so a model can actually learn to regress their size."""
+    so a model can actually learn to regress their size.
+
+    fixed_obj_size=(ow, oh) uses ONE object size for every image (instead of
+    a random per-image size) — the convergence proof uses this so size
+    generalization to unseen test images is well-posed for a tiny model."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "images_384_VarV2"), exist_ok=True)
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
@@ -18,11 +23,11 @@ def make_fscd147(root: str, n_train=6, n_val=3, n_test=3, size=(96, 128), seed=0
     H, W = size
     splits = {"train": [], "val": [], "test": []}
     annotations = {}
-    gt = {"val": [], "test": []}
-    img_infos = {"val": [], "test": []}
+    gt = {"train": [], "val": [], "test": []}
+    img_infos = {"train": [], "val": [], "test": []}
     next_id = 1
     ann_id = 1
-    gt_anns = {"val": [], "test": []}
+    gt_anns = {"train": [], "val": [], "test": []}
 
     for split, count in (("train", n_train), ("val", n_val), ("test", n_test)):
         for k in range(count):
@@ -30,7 +35,10 @@ def make_fscd147(root: str, n_train=6, n_val=3, n_test=3, size=(96, 128), seed=0
             img = np.zeros((H, W, 3), dtype=np.uint8) + 30
             n_obj = int(rng.integers(4, 9))
             pts, boxes = [], []
-            ow, oh = int(rng.integers(10, 18)), int(rng.integers(8, 14))
+            if fixed_obj_size is not None:
+                ow, oh = fixed_obj_size
+            else:
+                ow, oh = int(rng.integers(10, 18)), int(rng.integers(8, 14))
             for _ in range(n_obj):
                 cx = int(rng.integers(ow, W - ow))
                 cy = int(rng.integers(oh, H - oh))
@@ -75,7 +83,7 @@ def make_fscd147(root: str, n_train=6, n_val=3, n_test=3, size=(96, 128), seed=0
         json.dump(annotations, f)
     with open(os.path.join(root, "Train_Test_Val_FSC_147.json"), "w") as f:
         json.dump(splits, f)
-    for split in ("val", "test"):
+    for split in ("train", "val", "test"):
         with open(os.path.join(root, f"instances_{split}.json"), "w") as f:
             json.dump(
                 {

@@ -44,7 +44,7 @@ def _run(args, log_path):
     return proc
 
 
-def _wait(proc, timeout=280):
+def _wait(proc, timeout=540):
     proc.wait(timeout=timeout)
     proc._log_file.close()
     with open(proc._log_path) as f:
@@ -75,3 +75,22 @@ def test_two_process_training_matches_single_process(tmp_path):
     l1 = _losses(out1)
     np.testing.assert_allclose(l0, ref, rtol=1e-5)
     np.testing.assert_allclose(l1, ref, rtol=1e-5)
+
+
+def test_two_process_lockstep_on_uneven_dataset(tmp_path):
+    """5 samples over 2 processes: per-host batch counts differ (2 vs 1);
+    the step_cap (cross-host min of num_batches) must keep both hosts in
+    lockstep — the epoch completes without deadlock and both hosts see the
+    identical (replicated) loss sequence."""
+    port = 12437
+    p0 = _run([0, 2, port, 5], str(tmp_path / "p0.log"))
+    p1 = _run([1, 2, port, 5], str(tmp_path / "p1.log"))
+    out0 = _wait(p0)
+    out1 = _wait(p1)
+    assert p0.returncode == 0, out0[-2000:]
+    assert p1.returncode == 0, out1[-2000:]
+    l0 = _losses(out0)
+    l1 = _losses(out1)
+    assert len(l0) == 1  # min(2, 1) capped steps
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    assert np.isfinite(l0).all()
