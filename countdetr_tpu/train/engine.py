@@ -37,10 +37,26 @@ def train_one_epoch(
     # at log steps would let up to log_every-1 NaN updates corrupt the
     # donated state before detection.
     prev_loss = None
+    synced_multiproc = False
     for batch in prefetch(iter(batcher), depth=prefetch_depth):
         batch.pop("meta", None)
         batch.pop("bucket", None)
         db = shard_batch(batch, mesh) if mesh is not None else batch
+        if not synced_multiproc and jax.process_count() > 1:
+            # multi-host: AOT-compile this program on every host, then
+            # rendezvous, THEN execute — a first execution forms a new
+            # collectives context whose key-exchange deadline cannot absorb
+            # per-host compile skew (one host hits the persistent cache,
+            # another compiles cold). After the first epoch this costs one
+            # cache deserialization + a barrier on the existing clique.
+            try:
+                train_step.lower(state, db).compile()
+            except Exception:
+                pass  # donated-arg AOT quirks must not block training
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("train-step-compiled")
+            synced_multiproc = True
         state, metrics = train_step(state, db)
         if prev_loss is not None and not math.isfinite(float(prev_loss)):
             raise FloatingPointError(f"non-finite loss at epoch {epoch}")
