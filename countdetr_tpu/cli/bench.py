@@ -1,12 +1,19 @@
-"""Performance tooling: FLOPs counting + train/eval throughput — the
-reference's compute_flops_and_speeds.py equivalent (reference
-CountDETR_147_1st_stage/compute_flops_and_speeds.py:29-500), built on XLA
-cost analysis instead of torch.jit trace-graph op handlers.
+"""Performance tooling: FLOPs counting + train throughput + end-to-end
+(data + step) throughput — the reference's compute_flops_and_speeds.py
+equivalent (reference CountDETR_147_1st_stage/compute_flops_and_speeds.py:
+29-500), built on XLA cost analysis instead of torch.jit trace-graph op
+handlers.
 
 Usage:
   python -m countdetr_tpu.cli.bench --mode flops [--stage 2] [--size 592]
-  python -m countdetr_tpu.cli.bench --mode eval  [--batch 32]
-  python -m countdetr_tpu.cli.bench --mode train [--batch 8]
+  python -m countdetr_tpu.cli.bench --mode train [--batch 8] [--queries 600]
+  python -m countdetr_tpu.cli.bench --mode e2e   [--num_workers 4] \
+      [--decoded_cache] [--n_images 64]
+
+--mode e2e measures what --mode train cannot: the full pipeline with JPEG
+decode + resize + batching + host->device transfer in the loop, on a
+synthetic on-disk dataset — the number a real training run would actually
+see, and the data/step ratio that shows whether the host can feed the chip.
 """
 
 from __future__ import annotations
@@ -19,7 +26,7 @@ import time
 import numpy as np
 
 
-def _model_and_inputs(stage, size, batch, dtype, rng):
+def _model_and_inputs(stage, size, batch, dtype, rng, queries=None):
     import jax
     import jax.numpy as jnp
 
@@ -28,6 +35,9 @@ def _model_and_inputs(stage, size, batch, dtype, rng):
 
     cfg = (cfglib.stage2_config() if stage == 2 else cfglib.stage1_config())
     mcfg = cfg.model.replace(compute_dtype=dtype)
+    if queries is not None:
+        mcfg = mcfg.replace(num_query_position=queries)
+    cfg = cfg.replace(model=mcfg)
     model = CountingDetr(mcfg)
     images = jnp.array(rng.normal(size=(batch, size, size, 3)).astype(np.float32))
     mask = jnp.zeros((batch, size, size), dtype=bool)
@@ -74,7 +84,95 @@ def flops_report(stage=2, size=592, dtype="float32"):
     return out
 
 
-def train_throughput(stage=2, size=384, batch=8, dtype="bfloat16", iters=10):
+def e2e_throughput(
+    stage=2, size=592, batch=8, dtype="bfloat16", num_workers=0,
+    decoded_cache=False, n_images=64, epochs=2, data_root=None,
+):
+    """Full-pipeline training throughput on an on-disk synthetic dataset:
+    epoch 1 warms compiles/caches, epoch 2 is timed with data loading in the
+    loop. Also times a data-only epoch (no device work) so the output shows
+    how much of the chip the host pipeline can feed."""
+    import jax
+    import time as _t
+
+    from countdetr_tpu import config as cfglib
+    from countdetr_tpu.data.batching import Batcher, prefetch
+    from countdetr_tpu.data.fscd147 import FSC147Pseudo
+    from countdetr_tpu.data.synthetic import make_synthetic_fscd147
+    from countdetr_tpu.models import CountingDetr
+    from countdetr_tpu.train.optimizer import build_optimizer
+    from countdetr_tpu.train.train_step import create_state, make_train_step
+
+    root = data_root or os.path.join(
+        "/tmp", f"countdetr_bench_{size}_{n_images}"
+    )
+    make_synthetic_fscd147(
+        root, n_train=n_images, n_val=4, n_test=4, size=(size, size),
+        objects=(8, 48),
+    )
+    cm = "decoded" if decoded_cache else False
+    ds = FSC147Pseudo(root, "train", cache_mode=cm)
+    cfg = cfglib.stage2_config()
+    cfg = cfg.replace(
+        model=cfg.model.replace(compute_dtype=dtype),
+        data=cfg.data.replace(
+            buckets=((size, size),), batch_size=batch, max_boxes=64,
+        ),
+    )
+    b = Batcher(
+        ds, batch, ((size, size),), max_boxes=64, shuffle=True,
+        num_workers=num_workers,
+    )
+    model = CountingDetr(cfg.model)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((batch, size, size, 3), np.float32),
+        np.zeros((batch, size, size), bool),
+        exemplar_boxes=np.tile(
+            np.array([[0.1, 0.1, 0.3, 0.3]], np.float32), (batch, 3, 1)
+        ),
+    )
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=max(len(b), 1))
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+
+    def run_epoch(do_step: bool):
+        n = 0
+        t0 = _t.perf_counter()
+        nonlocal state
+        last = None
+        for batch_d in prefetch(iter(b), depth=max(num_workers, 2)):
+            n += int(batch_d["batch_valid"].sum())
+            batch_d.pop("meta", None)
+            batch_d.pop("bucket", None)
+            if do_step:
+                state, last = step(state, batch_d)
+        if last is not None:
+            float(last["loss"])  # drain the device pipeline before stopping the clock
+        return n, _t.perf_counter() - t0
+
+    run_epoch(True)  # warmup: compiles + cache fill
+    n_data, dt_data = run_epoch(False)
+    n_e2e, dt_e2e = run_epoch(True)
+    out = {
+        "mode": "e2e",
+        "stage": stage,
+        "image_size": size,
+        "batch": batch,
+        "num_workers": num_workers,
+        "decoded_cache": bool(decoded_cache),
+        "img_per_s_e2e": round(n_e2e / dt_e2e, 2),
+        "img_per_s_data_only": round(n_data / dt_data, 2),
+        "data_fraction_of_step": round(
+            (dt_data / dt_e2e) if dt_e2e > 0 else float("nan"), 3
+        ),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def train_throughput(stage=2, size=384, batch=8, dtype="bfloat16", iters=10,
+                     queries=None, max_boxes=None):
     """Training images/sec/chip: full jitted step (forward + on-device
     matching + backward + AdamW) iterated in-graph."""
     import jax
@@ -85,10 +183,12 @@ def train_throughput(stage=2, size=384, batch=8, dtype="bfloat16", iters=10):
 
     rng = np.random.default_rng(0)
     cfg, model, params, args, kwargs = _model_and_inputs(
-        stage, size, batch, dtype, rng
+        stage, size, batch, dtype, rng, queries=queries
     )
     if stage == 2:
-        T = 128
+        # production geometry: the reference trains with up to max_boxes
+        # targets per image (700 default); T sets the matcher/loss shapes
+        T = max_boxes or 128
         boxes = rng.uniform(0.2, 0.7, (batch, T, 4)).astype(np.float32)
         boxes[..., 2:] = np.clip(boxes[..., 2:], 0.02, 0.2)
         batch_d = {
@@ -128,6 +228,8 @@ def train_throughput(stage=2, size=384, batch=8, dtype="bfloat16", iters=10):
         "stage": stage,
         "image_size": size,
         "batch": batch,
+        "queries": cfg.model.num_queries,
+        "targets": (max_boxes or 128) if stage == 2 else 0,
         "img_per_s_per_chip": round(batch * iters / dt / jax.device_count(), 2),
     }
     print(json.dumps(out))
@@ -136,13 +238,30 @@ def train_throughput(stage=2, size=384, batch=8, dtype="bfloat16", iters=10):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="flops", choices=["flops", "train"])
+    ap.add_argument("--mode", default="flops", choices=["flops", "train", "e2e"])
     ap.add_argument("--stage", default=2, type=int)
     ap.add_argument("--size", default=592, type=int)
     ap.add_argument("--batch", default=8, type=int)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", default=10, type=int)
+    ap.add_argument("--queries", default=None, type=int,
+                    help="num_query_position (stage-2 production: 600)")
+    ap.add_argument("--max_boxes", default=None, type=int,
+                    help="target capacity T for the matcher/loss shapes "
+                    "(stage-2 production: 700)")
+    ap.add_argument("--num_workers", default=0, type=int)
+    ap.add_argument("--decoded_cache", action="store_true")
+    ap.add_argument("--n_images", default=64, type=int)
     a = ap.parse_args()
     if a.mode == "flops":
         flops_report(a.stage, a.size, "float32")
+    elif a.mode == "e2e":
+        e2e_throughput(
+            a.stage, a.size, a.batch, a.dtype, num_workers=a.num_workers,
+            decoded_cache=a.decoded_cache, n_images=a.n_images,
+        )
     else:
-        train_throughput(a.stage, a.size, a.batch, a.dtype)
+        train_throughput(
+            a.stage, a.size, a.batch, a.dtype, iters=a.iters,
+            queries=a.queries, max_boxes=a.max_boxes,
+        )

@@ -101,14 +101,31 @@ class Batcher:
     (the reference processes every annotated point, engine.py:123-187). One
     compiled program per (bucket, tier) combination.
 
-    process_index/process_count: multi-host data sharding. Membership is
-    FIXED (stride over the unshuffled index space, then shuffle within the
-    process's own subset) rather than the reference DistributedSampler's
-    shuffle-then-slice: under bucketed batching, per-epoch membership
-    changes would change each host's batch count every epoch, and SPMD
-    training needs all hosts to execute the same number of steps. step_cap
-    (set to the cross-host minimum of num_batches()) enforces exact
-    lockstep; hosts with more batches skip their surplus that epoch.
+    box_tiers: same mechanism for stage-2 target boxes. FSC-147 train images
+    carry up to ~3.7k pseudo boxes while max_boxes defaults to 700; the
+    reference's matcher sees ALL of them and keeps the best min(Q, T) by
+    cost (reference 2nd-stage matcher.py:243-246 on the rectangular
+    matrix), so truncating would change the training signal on exactly the
+    dense images that dominate counting RMSE. With tiers, dense samples pad
+    to a larger capacity instead of being cut.
+
+    process_index/process_count: multi-host data sharding via a GLOBAL batch
+    schedule. Every host deterministically computes the identical schedule
+    (shared seed + epoch -> shuffled global order -> greedy grouping into
+    (bucket, tier) batches of bs * process_count samples) and takes its own
+    bs-slice of each global batch. Consequences, all load-bearing for SPMD:
+      * every host executes the SAME number of steps per epoch AND the same
+        (bucket, tier) shape at each step — hosts can never run mismatched
+        XLA programs (the reference's DistributedSampler has no such
+        guarantee because it never coordinates shapes);
+      * no sample is ever skipped: partial global groups pad by repeating
+        (batch_valid masks the padding), and the epoch-seeded shuffle
+        rotates which samples land in padded tails;
+      * a pc-process run consumes exactly the global batches a 1-process
+        run with batch bs*pc would — multi-host equals single-host bit-for
+        bit (tests/test_multiprocess.py).
+    step_cap optionally truncates the schedule (kept for tooling; lockstep
+    no longer needs it).
     """
 
     def __init__(
@@ -122,8 +139,10 @@ class Batcher:
         seed: int = 0,
         drop_remainder: bool = False,
         point_tiers: Optional[Sequence[int]] = None,
+        box_tiers: Optional[Sequence[int]] = None,
         process_index: int = 0,
         process_count: int = 1,
+        num_workers: int = 0,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -134,19 +153,36 @@ class Batcher:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.point_tiers = tuple(sorted(point_tiers)) if point_tiers else None
+        self.box_tiers = tuple(sorted(box_tiers)) if box_tiers else None
         self.process_index = process_index
         self.process_count = process_count
         self.step_cap: Optional[int] = None
         self.epoch = 0
         self._warned_truncation = False
+        # process-parallel sample loading (data/loader.py); 0 = in-process.
+        # The pool spawns lazily on first iteration and persists across
+        # epochs.
+        self.num_workers = num_workers
+        self._loader = None
+        # (bucket, n_points, n_boxes) per sample index — epoch-invariant, so
+        # one metadata pass serves every epoch (image_size() header reads /
+        # annotation-count lookups are cheap but O(dataset) per call)
+        self._meta_cache: Dict[int, Tuple] = {}
+
+    @staticmethod
+    def _capacity(n: int, cap: int, tiers) -> int:
+        if tiers is None:
+            return cap
+        for t in tiers:
+            if n <= t:
+                return t
+        return tiers[-1]
 
     def _point_capacity(self, n_pts: int) -> int:
-        if self.point_tiers is None:
-            return self.max_points
-        for t in self.point_tiers:
-            if n_pts <= t:
-                return t
-        return self.point_tiers[-1]
+        return self._capacity(n_pts, self.max_points, self.point_tiers)
+
+    def _box_capacity(self, n_boxes: int) -> int:
+        return self._capacity(n_boxes, self.max_boxes, self.box_tiers)
 
     def _warn_truncated(self, kind: str, n: int, cap: int):
         if not self._warned_truncation:
@@ -159,9 +195,11 @@ class Batcher:
                 stacklevel=3,
             )
 
-    def _assemble(self, samples: List[Dict], bucket, pt_cap: int) -> Dict:
-        n = len(samples)
-        real = n
+    def _assemble(
+        self, samples: List[Dict], bucket, pt_cap: int, box_cap: int,
+        real: Optional[int] = None,
+    ) -> Dict:
+        real = len(samples) if real is None else real
         while len(samples) < self.bs:
             samples.append(samples[-1])
         batch: Dict = {"meta": [], "bucket": bucket}
@@ -185,9 +223,9 @@ class Batcher:
                 whs.append(w)
             if "boxes" in s:
                 n_boxes = len(np.asarray(s["boxes"]).reshape(-1, 4))
-                if n_boxes > self.max_boxes:
-                    self._warn_truncated("boxes", n_boxes, self.max_boxes)
-                b, v = pad_rows(s["boxes"], self.max_boxes, 4)
+                if n_boxes > box_cap:
+                    self._warn_truncated("boxes", n_boxes, box_cap)
+                b, v = pad_rows(s["boxes"], box_cap, 4)
                 boxes.append(b)
                 boxesv.append(v)
             if "exemplar_boxes" in s:
@@ -226,69 +264,110 @@ class Batcher:
             ) & bv[:, None]
         return batch
 
-    def _order(self) -> np.ndarray:
+    def _meta(self, i: int) -> Tuple[Tuple[int, int], int, int]:
+        """(bucket, n_points, n_boxes) for sample i WITHOUT decoding pixels
+        when the dataset exposes the metadata (image_size / num_points /
+        num_boxes — all shipped readers do via annotation JSONs or
+        header-only reads); loads the sample once otherwise. Cached: the
+        mapping is epoch-invariant."""
+        m = self._meta_cache.get(i)
+        if m is not None:
+            return m
+        ds = self.ds
+        s = None
+        if hasattr(ds, "image_size"):
+            h, w = ds.image_size(i)
+        else:
+            s = ds[i]
+            h, w = s["image"].shape[:2]
+        bucket = pick_bucket(h, w, self.buckets)
+
+        def count(kind: str, attr: str, dims: int) -> int:
+            nonlocal s
+            if hasattr(ds, attr):
+                return int(getattr(ds, attr)(i))
+            if s is None:
+                s = ds[i]
+            if kind not in s:
+                return 0
+            return len(np.asarray(s[kind]).reshape(-1, dims))
+
+        # tier grouping is the only consumer of the counts; skip the lookups
+        # (and any sample load they might force) when no tiers are configured
+        n_pts = count("points", "num_points", 2) if self.point_tiers else 0
+        n_boxes = count("boxes", "num_boxes", 4) if self.box_tiers else 0
+        m = (bucket, n_pts, n_boxes)
+        self._meta_cache[i] = m
+        return m
+
+    def _schedule(self) -> List[Tuple[Tuple, List[int], int]]:
+        """The epoch's GLOBAL batch schedule: [(key, indices, n_real)] where
+        key = (bucket, pt_cap, box_cap), indices has bs * process_count
+        entries (partial tails pad by repeating the last real sample), and
+        n_real counts the real ones. Deterministic in (seed, epoch), so
+        every process computes the identical schedule."""
         order = np.arange(len(self.ds))
-        if self.process_count > 1:
-            # fixed membership (see class docstring): stride BEFORE shuffle
-            order = order[self.process_index :: self.process_count]
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
-        return order
+        gbs = self.bs * self.process_count
+        sched: List[Tuple[Tuple, List[int], int]] = []
+        pending: Dict[Tuple, List[int]] = {}
+        for i in order:
+            bucket, n_pts, n_boxes = self._meta(int(i))
+            key = (
+                bucket,
+                self._point_capacity(n_pts),
+                self._box_capacity(n_boxes),
+            )
+            pending.setdefault(key, []).append(int(i))
+            if len(pending[key]) == gbs:
+                sched.append((key, pending.pop(key), gbs))
+        if not self.drop_remainder:
+            for key, rest in pending.items():
+                if rest:
+                    n_real = len(rest)
+                    sched.append(
+                        (key, rest + [rest[-1]] * (gbs - n_real), n_real)
+                    )
+        if self.step_cap is not None:
+            sched = sched[: self.step_cap]
+        return sched
 
     def __iter__(self) -> Iterator[Dict]:
-        order = self._order()
+        sched = self._schedule()
         self.epoch += 1
-
-        emitted = 0
-        pending: Dict[Tuple, List[Dict]] = {}
-        for i in order:
-            s = self.ds[int(i)]
-            h, w = s["image"].shape[:2]
-            bucket = pick_bucket(h, w, self.buckets)
-            n_pts = (
-                len(np.asarray(s["points"]).reshape(-1, 2))
-                if "points" in s else 0
+        lo = self.process_index * self.bs
+        plan = []
+        for key, idxs, n_real in sched:
+            mine = idxs[lo : lo + self.bs]
+            # padding is a global suffix, so this slice's real entries are a
+            # prefix; a host entirely past the tail gets an all-padding
+            # batch (loads the repeated sample, batch_valid all False)
+            my_real = max(0, min(self.bs, n_real - lo))
+            plan.append((key, mine, my_real))
+        if self.num_workers > 0 and plan:
+            from countdetr_tpu.data.loader import (
+                SampleLoader, iter_batches_parallel,
             )
-            pt_cap = self._point_capacity(n_pts)
-            key = (bucket, pt_cap)
-            pending.setdefault(key, []).append(s)
-            if len(pending[key]) == self.bs:
-                yield self._assemble(pending.pop(key), bucket, pt_cap)
-                emitted += 1
-                if self.step_cap is not None and emitted >= self.step_cap:
-                    return
-        for (bucket, pt_cap), rest in pending.items():
-            if rest and not self.drop_remainder:
-                if self.step_cap is not None and emitted >= self.step_cap:
-                    return
-                yield self._assemble(rest, bucket, pt_cap)
-                emitted += 1
+
+            if self._loader is None:
+                self._loader = SampleLoader(self.ds, self.num_workers)
+            yield from iter_batches_parallel(self, plan)
+            return
+        for (bucket, pt_cap, box_cap), mine, my_real in plan:
+            samples = [self.ds[i] for i in mine]
+            yield self._assemble(samples, bucket, pt_cap, box_cap, my_real)
 
     def __len__(self):
-        # upper bound (bucket fragmentation can add up to n_buckets batches);
-        # num_batches() gives the exact count when the dataset supports it
-        n = len(self._order())
-        return -(-n // self.bs) + len(self.buckets)
+        return self.num_batches()
 
     def num_batches(self) -> int:
-        """Exact batches per epoch for THIS process. Needs the dataset to
-        expose image_size(i) -> (h, w) post-resize (all readers do, via the
-        annotation JSON or a header-only image read); falls back to the
-        __len__ upper bound otherwise. Bucket membership is a fixed multiset,
-        so the count is shuffle-invariant."""
-        if not hasattr(self.ds, "image_size") or self.point_tiers:
-            return len(self)  # tiers add grouping keys the size scan can't see
-        counts: Dict[Tuple[int, int], int] = {}
-        for i in self._order():
-            b = pick_bucket(*self.ds.image_size(int(i)), self.buckets)
-            counts[b] = counts.get(b, 0) + 1
-        total = 0
-        for c in counts.values():
-            total += c // self.bs
-            if c % self.bs and not self.drop_remainder:
-                total += 1
-        return total
+        """Exact batches in the CURRENT epoch — identical on every process
+        by construction (the schedule is global). Shuffle-invariant: greedy
+        grouping emits ceil(count_key / global_bs) batches per key and the
+        per-key multiset of samples doesn't depend on the order."""
+        return len(self._schedule())
 
 
 def prefetch(it: Iterable, depth: int = 2) -> Iterator:

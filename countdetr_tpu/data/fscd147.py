@@ -30,12 +30,24 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
-def load_image(path: str, scale_factor: int = 32, byte_cache: Optional[dict] = None):
+def load_image(path: str, scale_factor: int = 32,
+               byte_cache: Optional[dict] = None,
+               decoded_cache: Optional[dict] = None):
     """Returns (normalized HWC float32 image, (orig_w, orig_h)).
 
     byte_cache: optional dict used as an in-RAM raw-bytes cache (the
     reference's cache_mode CocoDetection, torchvision_datasets/coco.py:54-73
-    — decode still happens per call, disk IO is skipped)."""
+    — decode still happens per call, disk IO is skipped).
+
+    decoded_cache: optional dict caching the RESIZED uint8 array (~1 MB per
+    FSC-147 image vs ~4 MB float32) — epoch 2+ skip JPEG decode + resize,
+    paying only the cheap vectorized normalize. This is the input-pipeline
+    fix the reference never needed at batch 1 on GPU but a 533 img/s chip
+    does."""
+    if decoded_cache is not None and path in decoded_cache:
+        arr8, (w, h) = decoded_cache[path]
+        arr = arr8.astype(np.float32) / 255.0
+        return (arr - IMAGENET_MEAN) / IMAGENET_STD, (w, h)
     if byte_cache is not None:
         import io
 
@@ -51,7 +63,10 @@ def load_image(path: str, scale_factor: int = 32, byte_cache: Optional[dict] = N
     rw = scale_factor * int(w / scale_factor)
     rh = scale_factor * int(h / scale_factor)
     img = img.resize((rw, rh), Image.BILINEAR)
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr8 = np.asarray(img, dtype=np.uint8)
+    if decoded_cache is not None:
+        decoded_cache[path] = (arr8, (w, h))
+    arr = arr8.astype(np.float32) / 255.0
     arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
     return arr, (w, h)
 
@@ -69,7 +84,10 @@ def _exemplar_centers_whs(box_coords) -> np.ndarray:
 
 class FSCD147Base:
     def __init__(self, data_path: str, split: str, scale_factor: int = 32,
-                 cache_mode: bool = False):
+                 cache_mode=False):
+        # cache_mode: False | True/'bytes' (reference --cache_mode raw-bytes
+        # RAM cache) | 'decoded' (resized-uint8 cache — skips epoch-2+
+        # decode, see load_image)
         self.data_path = data_path
         self.split = split
         self.scale_factor = scale_factor
@@ -78,7 +96,12 @@ class FSCD147Base:
         with open(os.path.join(data_path, "Train_Test_Val_FSC_147.json")) as f:
             self.data_split = json.load(f)[split]
         self.im_dir = os.path.join(data_path, "images_384_VarV2")
-        self._byte_cache: Optional[dict] = {} if cache_mode else None
+        self._byte_cache: Optional[dict] = (
+            {} if cache_mode in (True, "bytes") else None
+        )
+        self._decoded_cache: Optional[dict] = (
+            {} if cache_mode == "decoded" else None
+        )
 
     def __len__(self):
         return len(self.data_split)
@@ -87,6 +110,7 @@ class FSCD147Base:
         return load_image(
             os.path.join(self.im_dir, name), self.scale_factor,
             byte_cache=self._byte_cache,
+            decoded_cache=self._decoded_cache,
         )
 
     def _name(self, idx) -> str:
@@ -101,10 +125,20 @@ class FSCD147Base:
         sf = self.scale_factor
         return sf * int(h / sf), sf * int(w / sf)
 
+    def num_points(self, idx) -> int:
+        """Dot-annotation count from the JSON — the Batcher's tier
+        scheduling must not decode pixels."""
+        return len(self.annotations[self._name(idx)]["points"])
+
 
 class FSCD147Exemplars(FSCD147Base):
     """Stage-1 training: 3 exemplar centers+whs as both queries and targets
     (reference FSCD147_Exemplars, datasets/fscd_147.py:11-77)."""
+
+    def num_points(self, idx) -> int:
+        # this reader's 'points' are the exemplar centers, not the dots
+        name = self._name(idx)
+        return len(self.annotations[name]["box_examples_coordinates"])
 
     def __getitem__(self, idx) -> Dict:
         name = self.data_split[idx]
@@ -183,6 +217,9 @@ class FSCD147Eval(FSCD147Base):
         )
         self.sample_seed = sample_seed
 
+    def num_boxes(self, idx) -> int:
+        return len(self.gt.anns_for(self.name2id[self.data_split[idx]]))
+
     def __getitem__(self, idx) -> Dict:
         name = self.data_split[idx]
         img_id = self.name2id[name]
@@ -249,6 +286,9 @@ class FSC147Pseudo(FSCD147Base):
 
     def _name(self, idx) -> str:
         return self.pseudo.load_img(self.ids[idx])["file_name"]
+
+    def num_boxes(self, idx) -> int:
+        return len(self.pseudo.anns_for(self.ids[idx]))
 
     def __getitem__(self, idx) -> Dict:
         img_id = self.ids[idx]

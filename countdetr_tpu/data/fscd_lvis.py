@@ -28,8 +28,10 @@ from countdetr_tpu.data.fscd147 import load_image
 
 class _LvisBase:
     def __init__(self, data_path: str, split: str, scale_factor: int = 32,
-                 gt_file: Optional[str] = None, cache_mode: bool = False):
-        self._byte_cache = {} if cache_mode else None
+                 gt_file: Optional[str] = None, cache_mode=False):
+        # cache_mode: False | True/'bytes' | 'decoded' (see fscd147.load_image)
+        self._byte_cache = {} if cache_mode in (True, "bytes") else None
+        self._decoded_cache = {} if cache_mode == "decoded" else None
         self.data_path = data_path
         self.split = split
         self.scale_factor = scale_factor
@@ -42,6 +44,16 @@ class _LvisBase:
             os.path.join(data_path, "annotations", f"count_{split}.json")
         ) as f:
             self.count_anno = json.load(f)
+        # exemplar lookup: prefer keying by image_id (robust to reordered
+        # files); the reference relies on count_anno being positionally
+        # aligned with the instances file (lvis_2nd data/fscd_lvis.py:50) —
+        # that fragile contract is only used as a fallback, with a length
+        # assert, when the count file carries no image ids
+        canns = self.count_anno.get("annotations", [])
+        self._count_by_id = (
+            {a["image_id"]: a for a in canns}
+            if canns and all("image_id" in a for a in canns) else None
+        )
         self.img_dir = os.path.join(data_path, "images", "all_images")
         self.image_ids = self.coco.image_ids()
 
@@ -52,6 +64,7 @@ class _LvisBase:
         return load_image(
             os.path.join(self.img_dir, name), self.scale_factor,
             byte_cache=self._byte_cache,
+            decoded_cache=self._decoded_cache,
         )
 
     def image_size(self, idx):
@@ -64,20 +77,40 @@ class _LvisBase:
             sf * int(int(info["width"]) / sf),
         )
 
-    def _exemplars_xywh(self, idx) -> np.ndarray:
-        boxes = self.count_anno["annotations"][idx]["boxes"][:3]
+    def num_points(self, idx) -> int:
+        """Instance-box count (LVIS 'points' are the box centers) — cheap
+        metadata for the Batcher's tier scheduling."""
+        return len(self.coco.anns_for(self.image_ids[idx]))
+
+    def num_boxes(self, idx) -> int:
+        return len(self.coco.anns_for(self.image_ids[idx]))
+
+    def _exemplars_xywh(self, idx, img_id=None) -> np.ndarray:
+        if img_id is not None and self._count_by_id is not None:
+            boxes = self._count_by_id[img_id]["boxes"][:3]
+        else:
+            canns = self.count_anno["annotations"]
+            assert len(canns) == len(self.coco.image_ids()), (
+                "positional count_anno lookup requires the count file to "
+                "align 1:1 with the instances file (no image_id keys found)"
+            )
+            boxes = canns[idx]["boxes"][:3]
         return np.array(boxes, dtype=np.float32).reshape(-1, 4)
 
 
 class FSCDLvisExemplars(_LvisBase):
     """Stage-1 training (reference FSCD_LVIS_Exemplars)."""
 
+    def num_points(self, idx) -> int:
+        # this reader's 'points' are the (<= 3) exemplar centers
+        return len(self._exemplars_xywh(idx, self.image_ids[idx]))
+
     def __getitem__(self, idx) -> Dict:
         img_id = self.image_ids[idx]
         name = self.coco.load_img(img_id)["file_name"]
         image, (w, h) = self._image(name)
         res = np.array([w, h], dtype=np.float32)
-        ex = self._exemplars_xywh(idx)
+        ex = self._exemplars_xywh(idx, img_id)
         centers = (ex[:, :2] + ex[:, 2:] / 2.0) / res
         whs = ex[:, 2:] / res
         return {
@@ -123,13 +156,14 @@ class FSCDLvisEval(_LvisBase):
     reference's index-aligned lookup."""
 
     def __init__(self, data_path: str, split: str, scale_factor: int = 32,
-                 single_instances: bool = False):
+                 single_instances: bool = False, cache_mode: bool = False):
         gt_file = None
         if single_instances:
             gt_file = os.path.join(
                 data_path, "annotations", f"single_instances_{split}.json"
             )
-        super().__init__(data_path, split, scale_factor, gt_file=gt_file)
+        super().__init__(data_path, split, scale_factor, gt_file=gt_file,
+                         cache_mode=cache_mode)
 
     def __getitem__(self, idx) -> Dict:
         img_id = self.image_ids[idx]
@@ -143,7 +177,7 @@ class FSCDLvisEval(_LvisBase):
             [xywh[:, :2] + xywh[:, 2:] / 2.0, xywh[:, 2:]], axis=1
         ) / res4
         pts = (xywh[:, :2] + xywh[:, 2:] / 2.0) / res2
-        ex = self._exemplars_xywh(idx)
+        ex = self._exemplars_xywh(idx, img_id)
         rects = np.concatenate([ex[:, :2], ex[:, :2] + ex[:, 2:]], axis=1)
         rects[:, 0::2] = np.clip(rects[:, 0::2], 0, w - 1)
         rects[:, 1::2] = np.clip(rects[:, 1::2], 0, h - 1)
@@ -164,20 +198,32 @@ class FSCDLvisPseudo(_LvisBase):
     reads pseudo_lvis_{split}_cxcywh.json)."""
 
     def __init__(self, data_path, split, scale_factor: int = 32,
-                 pseudo_file: Optional[str] = None):
-        super().__init__(data_path, split, scale_factor)
+                 pseudo_file: Optional[str] = None, cache_mode: bool = False):
+        super().__init__(data_path, split, scale_factor, cache_mode=cache_mode)
         pseudo_file = pseudo_file or os.path.join(
             data_path, "annotations", f"pseudo_lvis_{split}_cxcywh.json"
         )
         self.pseudo = CocoJson(pseudo_file, "cxcywh")
-        self.ids = self.pseudo.image_ids()
-        self.image_ids = self.ids  # image_size() indexes the pseudo set
-        # count_anno is indexed positionally by the instances file order;
-        # build a name -> index map for exemplar lookup
+        # positional count_anno fallback needs the INSTANCES-file order (the
+        # reference's contract, lvis_2nd data/fscd_lvis.py:50) — an external
+        # pseudo file with reordered ids must not mispair exemplars
         self._name_to_idx = {
             self.coco.load_img(i)["file_name"]: k
-            for k, i in enumerate(self.image_ids)
+            for k, i in enumerate(self.coco.image_ids())
         }
+        self.ids = self.pseudo.image_ids()
+        self.image_ids = self.ids
+
+    def image_size(self, idx):
+        info = self.pseudo.load_img(self.ids[idx])
+        sf = self.scale_factor
+        return (
+            sf * int(int(info["height"]) / sf),
+            sf * int(int(info["width"]) / sf),
+        )
+
+    def num_boxes(self, idx) -> int:
+        return len(self.pseudo.anns_for(self.ids[idx]))
 
     def __len__(self):
         return len(self.ids)
@@ -191,7 +237,7 @@ class FSCDLvisPseudo(_LvisBase):
         boxes = np.array(
             [a["bbox"] for a in self.pseudo.anns_for(img_id)], np.float32
         ).reshape(-1, 4) / res4
-        ex = self._exemplars_xywh(self._name_to_idx[name])
+        ex = self._exemplars_xywh(self._name_to_idx[name], img_id)
         rects = np.concatenate([ex[:, :2], ex[:, :2] + ex[:, 2:]], axis=1) / res4
         return {
             "image": image,

@@ -104,7 +104,10 @@ def main():
         params = replicate(params, mesh)
         tx = build_optimizer(cfg.train, params, steps_per_epoch=10)
         state = create_state(params, tx)  # opt_state/step from global params
-        state = state._replace(step=replicate(state.step, mesh))
+        state = state._replace(
+            step=replicate(state.step, mesh),
+            bad_steps=replicate(state.bad_steps, mesh),
+        )
         step = make_train_step(model, tx, cfg)
         losses = []
         compiled = False

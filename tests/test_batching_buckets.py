@@ -127,3 +127,93 @@ def test_batcher_process_sharding_partitions():
         seen.append(set(names))
     assert seen[0] & seen[1] == set()
     assert seen[0] | seen[1] == {f"{i}.jpg" for i in range(len(ds))}
+
+
+def test_global_schedule_identical_across_processes():
+    """Multi-host SPMD contract (the round-2 advisor's high finding): with
+    MULTIPLE buckets and shuffling, every process must see the same number
+    of steps AND the same (bucket, capacities) shape at each step, and the
+    union of per-process slices at step k must equal the single-process
+    global batch at step k."""
+    ds = _FakeDs()
+    buckets = ((64, 96), (96, 128))
+
+    def run(pi, pc, bs):
+        b = Batcher(
+            ds, bs, buckets, max_points=4, shuffle=True, seed=11,
+            process_index=pi, process_count=pc,
+        )
+        out = []
+        for batch in b:
+            names = [
+                m["image_name"]
+                for m, v in zip(batch["meta"], batch["batch_valid"]) if v
+            ]
+            out.append((tuple(batch["images"].shape[1:3]), names))
+        return out
+
+    single = run(0, 1, 2)  # global batch 2
+    p0 = run(0, 2, 1)
+    p1 = run(1, 2, 1)
+    assert len(p0) == len(p1) == len(single)
+    for (s_shape, s_names), (a_shape, a_names), (b_shape, b_names) in zip(
+        single, p0, p1
+    ):
+        assert s_shape == a_shape == b_shape  # same XLA program every step
+        assert a_names + b_names == s_names  # same global batch, in order
+
+
+def test_no_sample_permanently_skipped_across_epochs():
+    """Epoch-seeded shuffle rotates which samples pad the tail; across 2
+    epochs of an uneven dataset every sample is visited by every process
+    layout (pre-round-3 the fixed-membership step_cap skipped the same
+    samples every epoch)."""
+    ds = _FakeDs()  # 5 samples
+    b0 = Batcher(ds, 1, ((64, 96), (96, 128)), max_points=4, shuffle=True,
+                 seed=3, process_index=0, process_count=2)
+    b1 = Batcher(ds, 1, ((64, 96), (96, 128)), max_points=4, shuffle=True,
+                 seed=3, process_index=1, process_count=2)
+    seen = set()
+    for _ in range(2):
+        for b in (b0, b1):
+            for batch in b:
+                seen |= {
+                    m["image_name"]
+                    for m, v in zip(batch["meta"], batch["batch_valid"]) if v
+                }
+    assert seen == {f"{i}.jpg" for i in range(len(ds))}
+
+
+def test_box_tiers_keep_dense_images_whole():
+    """box_tiers: a sample with more boxes than max_boxes pads to the next
+    tier instead of truncating (the reference's matcher sees ALL targets,
+    2nd-stage matcher.py:243-246)."""
+    import warnings as _w
+
+    class _BoxDs:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            n = 3 if i == 0 else 9  # dense second sample
+            return {
+                "image": np.zeros((64, 96, 3), np.float32),
+                "boxes": np.tile(
+                    np.array([[0.5, 0.5, 0.1, 0.1]], np.float32), (n, 1)
+                ),
+                "orig_size": (96, 64),
+                "image_name": f"{i}.jpg",
+            }
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        batches = list(
+            Batcher(_BoxDs(), 1, ((64, 96),), max_boxes=4, box_tiers=(4, 16))
+        )
+    assert not any("dropped from the padded arrays" in str(w.message) for w in rec)
+    caps = sorted(b["boxes"].shape[1] for b in batches)
+    assert caps == [4, 16]
+    for b in batches:
+        for i, m in enumerate(b["meta"]):
+            if b["batch_valid"][i]:
+                assert b["boxes_valid"][i].sum() == m["n_boxes"]

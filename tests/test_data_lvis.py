@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 
@@ -58,3 +59,40 @@ def test_pseudo_gen_writes_lvis_named_files_with_xywh_twin(tmp_path):
     cxb = c.anns_for(1)[0]["bbox"]
     xywh = [cxb[0] - cxb[2] // 2, cxb[1] - cxb[3] // 2, cxb[2], cxb[3]]
     assert xywh == [40, 35, 20, 10]
+
+
+def test_pseudo_exemplars_keyed_by_image_id(lvis_root, tmp_path):
+    """A pseudo file whose image entries are REORDERED relative to the
+    instances file must still pair each image with ITS exemplars — the
+    id-keyed lookup closes the reference's fragile positional contract
+    (lvis_2nd data/fscd_lvis.py:50)."""
+    import json
+
+    from countdetr_tpu.data.coco_io import CocoJson, write_coco
+    from countdetr_tpu.data.fscd_lvis import FSCDLvisPseudo
+
+    inst = CocoJson(
+        os.path.join(lvis_root, "annotations", "instances_train.json"), "xywh"
+    )
+    images = [inst.load_img(i) for i in inst.image_ids()][::-1]  # reversed
+    annos, aid = [], 1
+    for im in images:
+        for a in inst.anns_for(im["id"]):
+            x, y, w, h = a["bbox"]
+            annos.append({"id": aid, "image_id": im["id"],
+                          "bbox": [x + w / 2, y + h / 2, w, h],
+                          "area": w * h, "category_id": 1, "iscrowd": 0})
+            aid += 1
+    pf = str(tmp_path / "pseudo_lvis_train_cxcywh.json")
+    write_coco(pf, images, annos, box_format="cxcywh")
+
+    ds = FSCDLvisPseudo(lvis_root, "train", pseudo_file=pf)
+    with open(os.path.join(lvis_root, "annotations", "count_train.json")) as f:
+        count = {a["image_id"]: a["boxes"] for a in json.load(f)["annotations"]}
+    for k in range(len(ds)):
+        s = ds[k]
+        w, h = s["orig_size"]
+        ex = np.asarray(count[s["image_id"]], np.float32)[:3]
+        want = np.concatenate([ex[:, :2], ex[:, :2] + ex[:, 2:]], axis=1)
+        want = want / np.array([w, h, w, h], np.float32)
+        np.testing.assert_allclose(s["exemplar_boxes"], want, rtol=1e-6)

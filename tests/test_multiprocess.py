@@ -78,10 +78,12 @@ def test_two_process_training_matches_single_process(tmp_path):
 
 
 def test_two_process_lockstep_on_uneven_dataset(tmp_path):
-    """5 samples over 2 processes: per-host batch counts differ (2 vs 1);
-    the step_cap (cross-host min of num_batches) must keep both hosts in
-    lockstep — the epoch completes without deadlock and both hosts see the
-    identical (replicated) loss sequence."""
+    """5 samples over 2 processes: the global batch schedule gives BOTH
+    hosts the same 2 steps (one full global batch of 4 + one padded tail
+    holding sample 5) — the epoch completes without deadlock, the identical
+    (replicated) loss sequence appears on both hosts, and no sample is
+    skipped (pre-round-3, the cross-host step_cap permanently dropped the
+    surplus batch)."""
     port = 12437
     p0 = _run([0, 2, port, 5], str(tmp_path / "p0.log"))
     p1 = _run([1, 2, port, 5], str(tmp_path / "p1.log"))
@@ -91,6 +93,6 @@ def test_two_process_lockstep_on_uneven_dataset(tmp_path):
     assert p1.returncode == 0, out1[-2000:]
     l0 = _losses(out0)
     l1 = _losses(out1)
-    assert len(l0) == 1  # min(2, 1) capped steps
+    assert len(l0) == 2  # ceil(5 / global_bs 4): the tail batch trains too
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     assert np.isfinite(l0).all()
