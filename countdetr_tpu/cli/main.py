@@ -42,7 +42,13 @@ def get_args_parser():
 
     # model (reference main.py:52-95)
     p.add_argument("--backbone", default="resnet50", type=str)
-    p.add_argument("--dilation", default=True, type=bool)
+    # store_true/false pair, NOT type=bool ('--dilation False' would parse
+    # truthy); default True matches the reference's DC5 scripts (the
+    # reference flag is store_true, main.py:55-57, and every published run
+    # sets it)
+    p.add_argument("--dilation", dest="dilation", action="store_true",
+                   default=True)
+    p.add_argument("--no_dilation", dest="dilation", action="store_false")
     p.add_argument("--num_feature_levels", default=1, type=int)
     p.add_argument("--enc_layers", default=6, type=int)
     p.add_argument("--dec_layers", default=6, type=int)
@@ -99,6 +105,10 @@ def get_args_parser():
     p.add_argument("--num_workers", default=2, type=int)
     p.add_argument("--cache_mode", action="store_true",
                    help="cache raw image bytes in RAM (reference --cache_mode)")
+    p.add_argument("--decoded_cache", action="store_true",
+                   help="cache RESIZED uint8 images in RAM (~1 MB/img): "
+                   "epoch 2+ skip JPEG decode entirely — feeds the chip "
+                   "where --cache_mode only skips disk IO")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first training "
                    "epoch into {output_dir}/profile (the reference's only "
@@ -114,6 +124,10 @@ def get_args_parser():
     p.add_argument("--generate_pseudo_label", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--infer", action="store_true")
+    p.add_argument("--use_predefined_points", action="store_true",
+                   help="accepted for reference-CLI compatibility and inert, "
+                   "exactly like the reference: infer.py:243-244 defines the "
+                   "flag (twice) but no code ever reads it")
     p.add_argument("--evaluate_predictions", default="", type=str,
                    help="offline evaluator: path to predictions json")
     p.add_argument("--eval_split", default="test", choices=["val", "test"],
@@ -124,9 +138,11 @@ def get_args_parser():
         "--exact_replay", action="store_true",
         help="reference-exact schedule replay: forces batch_size 1 so the "
         "update sequence matches the reference's per-image training "
-        "(2nd stage: 1200 epochs at batch 1, var_wh_laplace_600.sh). "
-        "Without it, scale --lr linearly with batch_size from the "
-        "reference's 1e-4-at-batch-1 baseline.",
+        "(2nd stage: 1200 epochs at batch 1, var_wh_laplace_600.sh), and "
+        "routes matching through the reference's exact scipy LAP (host "
+        "callback) instead of the on-device eps-auction, so tie-breaks are "
+        "bit-faithful too. Without it, scale --lr linearly with batch_size "
+        "from the reference's 1e-4-at-batch-1 baseline.",
     )
     p.add_argument("--buckets", default="384x384,384x512,384x672", type=str)
     p.add_argument("--max_points", default=700, type=int)
@@ -169,6 +185,7 @@ def config_from_args(args) -> Config:
         batch_size=1 if args.exact_replay else args.batch_size,
         num_workers=args.num_workers,
         cache_mode=args.cache_mode,
+        decoded_cache=args.decoded_cache,
         num_sampled_points=(
             args.num_sample_points if args.spatial_prior == "sampled" else 0
         ),
@@ -193,6 +210,7 @@ def config_from_args(args) -> Config:
         set_cost_class=args.set_cost_class,
         set_cost_bbox=args.set_cost_bbox,
         set_cost_giou=args.set_cost_giou,
+        exact_match=args.exact_replay,
         output_dir=args.output_dir,
         resume=args.resume,
         auto_resume=args.auto_resume,
@@ -214,7 +232,7 @@ def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
         from countdetr_tpu.data import fscd147 as D
 
         nsp = cfg.data.num_sampled_points
-        cm = cfg.data.cache_mode
+        cm = "decoded" if cfg.data.decoded_cache else cfg.data.cache_mode
         if pseudo:
             return D.FSC147Pseudo(
                 dp, split, sf, num_sampled_points=nsp, cache_mode=cm
@@ -229,10 +247,11 @@ def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
     else:
         from countdetr_tpu.data import fscd_lvis as D
 
+        cm = "decoded" if cfg.data.decoded_cache else cfg.data.cache_mode
         if pseudo:
-            return D.FSCDLvisPseudo(dp, split, sf)
+            return D.FSCDLvisPseudo(dp, split, sf, cache_mode=cm)
         if name.endswith("_point"):
-            return D.FSCDLvisPoints(dp, split, sf)
+            return D.FSCDLvisPoints(dp, split, sf, cache_mode=cm)
         if name.endswith("_test"):
             # stage-2 eval prefers the single-instances GT when present
             # (reference FSCD_LVIS_Dataset_Test reads
@@ -242,8 +261,10 @@ def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
                     dp, "annotations", f"single_instances_{split}.json"
                 )
             )
-            return D.FSCDLvisEval(dp, split, sf, single_instances=single)
-        return D.FSCDLvisExemplars(dp, split, sf)
+            return D.FSCDLvisEval(
+                dp, split, sf, single_instances=single, cache_mode=cm
+            )
+        return D.FSCDLvisExemplars(dp, split, sf, cache_mode=cm)
 
 
 def get_sha() -> str:
@@ -341,18 +362,23 @@ def main(args):
             **init_kw,
         )
 
-    # restore / import weights
+    # restore / import weights. In TRAINING mode a native --resume dir is
+    # handled later, after the optimizer exists, so opt_state + epoch + the
+    # StepLR position restore too (the reference restores
+    # model+optimizer+lr_scheduler+epoch, main.py:217-238); here only the
+    # params-consuming modes (infer/test/pseudo/eval) restore params.
+    training_mode = not (
+        args.generate_pseudo_label or args.test or args.infer or args.eval
+    )
     if args.checkpoint_path or args.resume:
         path = args.checkpoint_path or args.resume
         if path.endswith(".pth"):
             sd = ckpt.load_torch_checkpoint(path)
             params = ckpt.torch_state_dict_to_params(sd, params)
             print(f"imported torch checkpoint {path}")
-        else:
+        elif not (training_mode and args.resume and not args.checkpoint_path):
             step = ckpt.latest_step(path)
             if step is not None:
-                from countdetr_tpu.train.train_step import TrainState
-
                 dummy_tx = build_optimizer(cfg.train, params, 1)
                 st = create_state(params, dummy_tx)
                 params, _, meta = ckpt.restore_checkpoint(path, step, st)
@@ -413,15 +439,16 @@ def main(args):
             out = os.path.join(args.output_dir, f"predictions_{split}.json")
             results = engine.infer_detections(forward, params, ds, cfg, out, mesh)
             counting = engine.counting_summary(results)
-            ap = evaluate_results(results, ds)
             from countdetr_tpu.cli.offline_eval import (
-                analyze_results, per_image_ap,
+                _gt_xywh_by_name, analyze_results, per_image_ap,
             )
 
+            gt_by_name = _gt_xywh_by_name(ds)  # built once, used twice
+            ap = evaluate_results(results, ds, by_name=gt_by_name)
             # per-split subdir: the val report must not be overwritten by test
             analyze_results(
                 results, os.path.join(args.output_dir, f"report_{split}"),
-                image_aps=per_image_ap(results, ds),
+                image_aps=per_image_ap(results, ds, by_name=gt_by_name),
             )
             if args.vis_pseudo:
                 from countdetr_tpu.cli.offline_eval import visualize_predictions
@@ -437,6 +464,26 @@ def main(args):
             json.dump(all_metrics, f, indent=2)
         return all_metrics
 
+    if args.eval:
+        # validation-only: run the criterion over the val split and exit
+        # (reference main.py:240-247 evaluates data_loader_val and returns)
+        val_ds = build_dataset(
+            args.dataset_file, "val", cfg, pseudo=cfg.model.stage == 2
+        )
+        vb = Batcher(
+            val_ds, B, cfg.data.buckets,
+            max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        eval_step = make_eval_step(model, cfg)
+        vstats = gather_metrics(engine.evaluate(eval_step, params, vb, mesh))
+        if is_main_process():
+            print(json.dumps(vstats, indent=2))
+            with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
+                json.dump(vstats, f, indent=2)
+        return vstats
+
     # ---- training ----------------------------------------------------------
     train_ds = build_dataset(
         args.dataset_file, "train", cfg, pseudo=cfg.model.stage == 2
@@ -449,39 +496,58 @@ def main(args):
     except (FileNotFoundError, KeyError):
         pass
 
+    # stage-2 box capacity tiers: dense FSC-147 images carry up to ~3.7k
+    # pseudo boxes; tiers let them reach the matcher whole (the reference's
+    # scipy LAP sees ALL targets, matcher.py:243-246) while a few fixed
+    # capacities bound recompiles
+    mb = cfg.data.max_boxes
+    box_tiers = (
+        tuple(sorted({min(mb, 128), mb, max(8 * mb, 4096)}))
+        if cfg.model.stage == 2 else None
+    )
     batcher = Batcher(
         train_ds, B, cfg.data.buckets,
         max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
         shuffle=True, seed=cfg.train.seed,
+        box_tiers=box_tiers,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        num_workers=cfg.data.num_workers,
     )
-    # exact per-epoch step count (bucket fragmentation included) so the
-    # StepLR boundary lands on the true epoch edge
+    # exact per-epoch step count so the StepLR boundary lands on the true
+    # epoch edge. The Batcher's schedule is GLOBAL (identical on every
+    # host: same count, same per-step bucket/tier shapes), so multi-host
+    # lockstep needs no cross-host negotiation here.
     steps_per_epoch = max(batcher.num_batches(), 1)
-    if jax.process_count() > 1:
-        # SPMD lockstep: every host must run the SAME number of steps per
-        # epoch (bucket fragmentation makes per-host counts differ), and the
-        # lr schedule must use the same boundary everywhere
-        from jax.experimental import multihost_utils
-
-        counts = multihost_utils.process_allgather(
-            np.array([steps_per_epoch], np.int64)
-        )
-        steps_per_epoch = max(int(np.min(counts)), 1)
-        batcher.step_cap = steps_per_epoch
     tx = build_optimizer(cfg.train, params, steps_per_epoch)
     state = create_state(params, tx)
 
     start_epoch = args.start_epoch
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
-    if args.auto_resume:
-        step = ckpt.latest_step(ckpt_dir)
-        if step is not None:
-            p, o, meta = ckpt.restore_checkpoint(ckpt_dir, step, state)
-            state = state._replace(params=p, opt_state=o)
-            start_epoch = meta.get("epoch", 0) + 1
-            print(f"auto-resumed from epoch {start_epoch - 1}")
+
+    def _full_restore(directory: str, label: str) -> bool:
+        """params + opt_state (Adam moments, StepLR position) + epoch + the
+        optimizer step counter — a mid-training restart continues the exact
+        update sequence (reference main.py:217-238)."""
+        nonlocal state, start_epoch
+        step = ckpt.latest_step(directory)
+        if step is None:
+            return False
+        p, o, meta = ckpt.restore_checkpoint(directory, step, state)
+        state = state._replace(params=p, opt_state=o)
+        if meta.get("opt_step") is not None:
+            import jax.numpy as jnp
+
+            state = state._replace(
+                step=jnp.asarray(meta["opt_step"], jnp.int32)
+            )
+        start_epoch = meta.get("epoch", 0) + 1
+        print(f"{label}: continuing at epoch {start_epoch}")
+        return True
+
+    resumed = args.auto_resume and _full_restore(ckpt_dir, "auto-resumed")
+    if not resumed and args.resume and not args.resume.endswith(".pth"):
+        _full_restore(args.resume, f"resumed {args.resume}")
 
     if jax.process_count() > 1:
         # jit over a multi-host mesh needs GLOBAL arrays on every input;
@@ -493,11 +559,26 @@ def main(args):
                 params=replicate(state.params, mesh),
                 opt_state=replicate(state.opt_state, mesh),
                 step=replicate(state.step, mesh),
+                bad_steps=replicate(state.bad_steps, mesh),
             )
 
     train_step = make_train_step(model, tx, cfg)
     eval_step = make_eval_step(model, cfg) if val_ds is not None else None
     log_path = os.path.join(args.output_dir, "log.txt")
+    vb = None
+    if val_ds is not None and eval_step is not None:
+        # built once (a per-epoch Batcher would respawn its worker pool);
+        # global schedule => identical per-host val step counts/shapes, so
+        # multi-host needs no step_cap negotiation (hosts running different
+        # numbers of collective eval programs would deadlock)
+        vb = Batcher(
+            val_ds, B, cfg.data.buckets,
+            max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
+            box_tiers=box_tiers,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            num_workers=cfg.data.num_workers,
+        )
 
     profiling = False
     for epoch in range(start_epoch, cfg.train.epochs):
@@ -514,13 +595,7 @@ def main(args):
             jax.profiler.stop_trace()
             profiling = False
             print(f"profile trace: {os.path.join(args.output_dir, 'profile')}")
-        if val_ds is not None and eval_step is not None:
-            vb = Batcher(
-                val_ds, B, cfg.data.buckets,
-                max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
-            )
+        if vb is not None:
             vstats = engine.evaluate(eval_step, state.params, vb, mesh)
             stats.update({f"val_{k}": v for k, v in vstats.items()})
         # cross-host metric averaging (reference reduce_dict /

@@ -124,10 +124,12 @@ def _gt_xywh_by_name(dataset) -> Dict:
     return by_name
 
 
-def evaluate_results(results: List[Dict], dataset) -> Dict[str, float]:
+def evaluate_results(results: List[Dict], dataset, by_name=None) -> Dict[str, float]:
     """AP from in-memory infer results against the dataset's GT boxes.
-    results: engine.infer_detections output; dataset: an *Eval dataset."""
-    by_name = _gt_xywh_by_name(dataset)
+    results: engine.infer_detections output; dataset: an *Eval dataset.
+    by_name: optional precomputed _gt_xywh_by_name(dataset) (callers running
+    both this and per_image_ap should build it once)."""
+    by_name = by_name if by_name is not None else _gt_xywh_by_name(dataset)
 
     ev = CocoEvaluator(max_dets=(900, 1000, 1100))
     for r in results:
@@ -142,12 +144,12 @@ def evaluate_results(results: List[Dict], dataset) -> Dict[str, float]:
     return ev.summarize()
 
 
-def per_image_ap(results: List[Dict], dataset) -> Dict[str, Dict[str, float]]:
+def per_image_ap(results: List[Dict], dataset, by_name=None) -> Dict[str, Dict[str, float]]:
     """Per-image AP/AP50 (the reference's cal_ap,
     evaluate_val_and_test.py:27-135, feeding each_img_infor.pkl): evaluate
     each image as its own single-image COCO run. GT comes from the
     dataset's COCO metadata — no second pass of image decoding."""
-    by_name = _gt_xywh_by_name(dataset)
+    by_name = by_name if by_name is not None else _gt_xywh_by_name(dataset)
     out: Dict[str, Dict[str, float]] = {}
     for r in results:
         gts = by_name.get(r.get("image_name"))

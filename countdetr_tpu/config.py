@@ -87,6 +87,10 @@ class DataConfig:
     # in-RAM raw-bytes image cache (reference --cache_mode,
     # torchvision_datasets/coco.py:54-73)
     cache_mode: bool = False
+    # resized-uint8 decoded cache: epoch 2+ skip JPEG decode + resize
+    # entirely (TPU addition — see data/fscd147.load_image); overrides
+    # cache_mode when both are set
+    decoded_cache: bool = False
 
     # 'sampled' spatial prior: points drawn per image from the density map
     # (reference data/fsc147.py:127 — 300); 0 disables emission
@@ -130,6 +134,11 @@ class TrainConfig:
     set_cost_class: float = 2.0
     set_cost_bbox: float = 5.0
     set_cost_giou: float = 2.0
+    # --exact_replay: matching via a host callback to scipy's exact LAP so
+    # the update sequence is bit-faithful to the reference's per-image
+    # scipy matcher (2nd-stage matcher.py:243-246) instead of the on-device
+    # eps-auction (measured gaps <= 0.05% of optimal)
+    exact_match: bool = False
 
     # checkpointing
     output_dir: str = ""

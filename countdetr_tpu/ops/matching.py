@@ -22,9 +22,10 @@ Interface: costs are (Q, T) like the reference's (num_queries, num_targets)
 matrix. When T <= Q every valid target gets a distinct query. When T > Q
 (FSC-147 train images run to ~3.7k dots vs 576 grid queries) the reference's
 scipy LAP assigns the best min(Q, T) pairs (reference 2nd-stage
-matcher.py:243-246 on the rectangular matrix); here the Q most promising
-targets (cheapest min-cost over queries) enter a square auction and the rest
-stay unmatched — `matched` marks which target slots got a query.
+matcher.py:243-246 on the rectangular matrix); here the auction is
+TRANSPOSED — all Q queries bid over the T targets (invalid slots act as
+uniformly-terrible dummy objects), so exactly min(Q, #valid) targets win a
+query, the rectangular-LAP optimum — and `matched` marks the winners.
 """
 
 from __future__ import annotations
@@ -108,10 +109,10 @@ def auction_lap(
     T * eps of optimal). Returns (tgt2query (T,) int32, matched (T,) bool).
 
     T <= Q: every valid target is matched (matched == tgt_valid).
-    T > Q: rectangular-LAP semantics — only min(Q, #valid) targets can get
-    a query; the Q cheapest-by-best-query targets enter a square auction
-    (matching the reference's scipy behavior on rectangular costs,
-    2nd-stage matcher.py:243-246) and `matched` marks the winners.
+    T > Q: rectangular-LAP semantics — the auction transposes (queries bid
+    over targets), so exactly min(Q, #valid) targets win a query (matching
+    the reference's scipy behavior on rectangular costs, 2nd-stage
+    matcher.py:243-246) and `matched` marks the winners.
     """
     Q, T = cost.shape
     if T <= Q:
@@ -159,6 +160,41 @@ def batched_match(
     tgt_valid when T <= Q, a subset of it otherwise."""
     return jax.vmap(lambda c, v: auction_lap(c, v, eps_frac=eps_frac))(
         cost, tgt_valid
+    )
+
+
+def exact_batched_match(
+    cost: jnp.ndarray,  # (B, Q, T)
+    tgt_valid: jnp.ndarray,  # (B, T) bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """jit-compatible EXACT matching via a host callback to scipy's LAP —
+    the --exact_replay path. The reference solves matching with
+    linear_sum_assignment per image on the CPU (2nd-stage matcher.py:243-246);
+    calling the identical solver makes the replayed update sequence
+    bit-faithful, including tie-breaks the eps-auction may resolve
+    differently (native/lapjv.cpp finds the same optimal COST but not
+    necessarily the same optimal assignment on ties, so replay uses scipy).
+
+    Single-host by design: --exact_replay forces batch_size 1 (the
+    reference's per-image schedule), and pure_callback on sharded inputs
+    would run per-shard. Not for the performance path — batched_match is
+    the on-device solver."""
+    import numpy as np
+
+    B, Q, T = cost.shape
+
+    def cb(c, v):
+        tq, m = scipy_match(c, v)
+        return np.asarray(tq, np.int32), np.asarray(m, bool)
+
+    return jax.pure_callback(
+        cb,
+        (
+            jax.ShapeDtypeStruct((B, T), jnp.int32),
+            jax.ShapeDtypeStruct((B, T), jnp.bool_),
+        ),
+        cost,
+        tgt_valid,
     )
 
 

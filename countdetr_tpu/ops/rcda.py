@@ -25,6 +25,7 @@ Layout note: everything is NHWC / (B, L, E) — TPU-native; no torch-style
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -70,18 +71,19 @@ def _rcda_core_einsum(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_hea
     return out.reshape(B, L, E)
 
 
+# v3 (default): the two-stage short-axis form — the faster of the two
+# kernels at the measured geometry (333 vs 326 img/s, PERFORMANCE.md);
+# rank1: single full-width H*W contraction, for much larger H, W.
+# Read ONCE at import: the primal below runs at trace time, so the choice is
+# frozen into cached compilations anyway — a startup-only knob by design.
+PALLAS_VARIANT = os.environ.get("COUNTDETR_PALLAS_VARIANT", "v3")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _rcda_core_pallas(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads):
-    import os
-
     from countdetr_tpu.ops.pallas.rcda_kernel import fused_rcda, fused_rcda_rank1
 
-    # v3 (default): the two-stage short-axis form — the faster of the two
-    # kernels at the measured geometry (333 vs 326 img/s, PERFORMANCE.md);
-    # rank1: single full-width H*W contraction, for much larger H, W.
-    # COUNTDETR_PALLAS_VARIANT selects.
-    variant = os.environ.get("COUNTDETR_PALLAS_VARIANT", "v3")
-    fn = fused_rcda_rank1 if variant == "rank1" else fused_rcda
+    fn = fused_rcda_rank1 if PALLAS_VARIANT == "rank1" else fused_rcda
     return fn(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
 
 

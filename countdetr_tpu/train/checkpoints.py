@@ -54,7 +54,13 @@ def save_checkpoint(
     os.makedirs(directory, exist_ok=True)
     ckpt = ocp.StandardCheckpointer()
     path = os.path.join(directory, f"checkpoint_{step}")
-    ckpt.save(path, {"params": state.params, "opt_state": state.opt_state}, force=True)
+    payload = {"params": state.params, "opt_state": state.opt_state}
+    if getattr(state, "step", None) is not None:
+        # optimizer step counter: --resume must restore the StepLR position
+        # and the dropout fold_in stream, not just params (the reference
+        # restores model+optimizer+lr_scheduler+epoch, main.py:217-238)
+        payload["step"] = state.step
+    ckpt.save(path, payload, force=True)
     ckpt.wait_until_finished()
     if jax.process_index() != 0:
         return
@@ -77,17 +83,32 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore_checkpoint(directory: str, step: int, state):
+    """Returns (params, opt_state, meta). meta additionally carries
+    'opt_step' (the optimizer step counter) when the checkpoint stores one
+    — older checkpoints without it restore with opt_step absent."""
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
     ckpt = ocp.StandardCheckpointer()
-    target = {"params": state.params, "opt_state": state.opt_state}
-    restored = ckpt.restore(os.path.join(directory, f"checkpoint_{step}"), target)
+    path = os.path.join(directory, f"checkpoint_{step}")
+    target = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    try:
+        restored = ckpt.restore(path, target)
+    except Exception:
+        # pre-round-3 checkpoints lack the 'step' entry
+        target.pop("step")
+        restored = ckpt.restore(path, target)
     meta_path = os.path.join(directory, f"checkpoint_{step}.meta.json")
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    if "step" in restored:
+        meta["opt_step"] = restored["step"]
     return restored["params"], restored["opt_state"], meta
 
 

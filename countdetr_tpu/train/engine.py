@@ -9,7 +9,6 @@ metrics sync to host only at print intervals.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import Dict, List, Optional
 
@@ -30,14 +29,20 @@ def train_one_epoch(
     prefetch_depth: int = 2,
 ):
     logger = MetricLogger(print_every=log_every, prefix=f"Epoch [{epoch}] ")
-    # Per-step NaN guard with a one-step delay: by the time step N+1 has
-    # been dispatched, step N's loss scalar is already computed on device, so
-    # fetching it costs a tiny transfer without stalling the pipeline. The
-    # reference checks every step and exits (engine.py:64-67); checking only
-    # at log steps would let up to log_every-1 NaN updates corrupt the
-    # donated state before detection.
-    prev_loss = None
+    # Amortized NaN guard: every step folds isfinite(loss) into the on-device
+    # state.bad_steps counter; the host fetches it only every K steps, so a
+    # non-finite loss is caught within K updates without a per-step
+    # device->host sync. The reference .item()s the loss every step and exits
+    # (engine.py:64-67); K bounds the corruption blast radius while keeping
+    # the "host sync only at intervals" pipeline property.
+    check_every = max(1, min(10, log_every))
+    n_steps = 0
     synced_multiproc = False
+
+    def _check_bad(st):
+        if int(jax.device_get(st.bad_steps)) > 0:
+            raise FloatingPointError(f"non-finite loss at epoch {epoch}")
+
     for batch in prefetch(iter(batcher), depth=prefetch_depth):
         batch.pop("meta", None)
         batch.pop("bucket", None)
@@ -58,12 +63,12 @@ def train_one_epoch(
             multihost_utils.sync_global_devices("train-step-compiled")
             synced_multiproc = True
         state, metrics = train_step(state, db)
-        if prev_loss is not None and not math.isfinite(float(prev_loss)):
-            raise FloatingPointError(f"non-finite loss at epoch {epoch}")
-        prev_loss = metrics["loss"]
+        n_steps += 1
+        if n_steps % check_every == 0:
+            _check_bad(state)
         logger.step(metrics)
-    if prev_loss is not None and not math.isfinite(float(prev_loss)):
-        raise FloatingPointError(f"non-finite loss at epoch {epoch}")
+    if n_steps:
+        _check_bad(state)
     stats = logger.summary()
     stats["epoch"] = epoch
     return state, stats
@@ -101,6 +106,7 @@ def generate_pseudo_labels(
         cfg.data.buckets,
         max_points=cfg.data.max_points,
         point_tiers=tiers,
+        num_workers=cfg.data.num_workers,
     )
     images: List[Dict] = []
     annotations: List[Dict] = []
@@ -171,6 +177,7 @@ def infer_detections(
         cfg.data.buckets,
         max_boxes=cfg.data.max_boxes,
         max_points=cfg.data.max_points,
+        num_workers=cfg.data.num_workers,
     )
     images: List[Dict] = []
     annotations: List[Dict] = []
@@ -276,6 +283,7 @@ def stage1_test(
     batcher = Batcher(
         dataset, cfg.data.batch_size, cfg.data.buckets,
         max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
+        num_workers=cfg.data.num_workers,
     )
     images: List[Dict] = []
     annotations: List[Dict] = []

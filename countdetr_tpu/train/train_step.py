@@ -31,10 +31,18 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # cumulative count of steps whose loss was non-finite, accumulated ON
+    # DEVICE so the NaN guard needs a host fetch only every K steps (the
+    # reference .item()s the loss every step, engine.py:63-67; a per-step
+    # device->host sync at multi-host scale stalls the pipeline)
+    bad_steps: jnp.ndarray
 
 
 def create_state(params, tx) -> TrainState:
-    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    return TrainState(
+        params, tx.init(params), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
 
 
 def stage1_loss(model, params, batch, cfg: Config, rngs=None):
@@ -81,6 +89,8 @@ def stage2_loss(model, params, batch, cfg: Config, rngs=None):
             cost_bbox=t.set_cost_bbox,
             cost_giou=t.set_cost_giou,
         )
+        if cfg.train.exact_match:
+            return matching.exact_batched_match(cost, batch["boxes_valid"])
         return matching.batched_match(cost, batch["boxes_valid"])
 
     tgt2query, matched = match(out["pred_logits"], out["pred_boxes"])
@@ -160,7 +170,10 @@ def make_train_step(model, tx, cfg: Config):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        bad = state.bad_steps + (
+            ~jnp.isfinite(metrics["loss"])
+        ).astype(jnp.int32)
+        return TrainState(params, opt_state, state.step + 1, bad), metrics
 
     return train_step
 

@@ -112,3 +112,69 @@ def test_torch_import_skip_mismatched():
         out["params"]["transformer"]["adapt_pos1d"]["0"]["weight"],
         np.ones((4, 4), np.float32),
     )
+
+
+def test_resume_matches_uninterrupted_run(tmp_path, rng):
+    """Full-state resume: train 2+2 steps with a checkpoint/restore in the
+    middle and the second half's loss sequence must EXACTLY match an
+    uninterrupted 4-step run — i.e. opt_state (Adam moments + schedule
+    count) and the step counter survive the round trip (the reference
+    restores model+optimizer+lr_scheduler+epoch, main.py:217-238)."""
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(
+        model=cfg.model.replace(
+            enc_layers=1, dec_layers=1, hidden_dim=32, nheads=4,
+            dim_feedforward=64, dropout=0.1,  # dropout keys off state.step
+        ),
+        # lr_drop at "epoch" 1 with steps_per_epoch=2: the schedule changes
+        # mid-run, so a lost schedule position would change losses
+        train=cfg.train.replace(lr=1e-3, lr_drop=1),
+    )
+    model = CountingDetr(cfg.model)
+    B, H, W, P = 2, 32, 32, 3
+    batches = []
+    for i in range(4):
+        r = np.random.default_rng(50 + i)
+        batches.append({
+            "images": jnp.array(r.normal(size=(B, H, W, 3)).astype(np.float32)),
+            "pad_mask": jnp.zeros((B, H, W), dtype=bool),
+            "points": jnp.array(r.uniform(0.2, 0.8, (B, P, 2)).astype(np.float32)),
+            "points_valid": jnp.ones((B, P), dtype=bool),
+            "whs": jnp.array(r.uniform(0.1, 0.3, (B, P, 2)).astype(np.float32)),
+        })
+    params = model.init(
+        jax.random.PRNGKey(0), batches[0]["images"], batches[0]["pad_mask"],
+        batches[0]["points"], batches[0]["points_valid"],
+    )
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    def fresh(ps):
+        tx = build_optimizer(cfg.train, ps, steps_per_epoch=2)
+        return tx, create_state(jax.tree_util.tree_map(jnp.array, ps), tx)
+
+    # uninterrupted 4-step run
+    tx, state = fresh(params)
+    step_fn = make_train_step(model, tx, cfg)
+    ref_losses = []
+    for b in batches:
+        state, m = step_fn(state, b)
+        ref_losses.append(float(m["loss"]))
+
+    # interrupted: 2 steps, save, REBUILD everything, full restore, 2 steps
+    tx, state = fresh(params)
+    step_fn = make_train_step(model, tx, cfg)
+    for b in batches[:2]:
+        state, _ = step_fn(state, b)
+    ckpt.save_checkpoint(str(tmp_path), 0, state, {"epoch": 0})
+
+    tx2, state2 = fresh(params)  # fresh moments — must all be overwritten
+    step_fn2 = make_train_step(model, tx2, cfg)
+    p, o, meta = ckpt.restore_checkpoint(str(tmp_path), 0, state2)
+    state2 = state2._replace(params=p, opt_state=o)
+    assert meta.get("opt_step") is not None
+    state2 = state2._replace(step=jnp.asarray(meta["opt_step"], jnp.int32))
+    resumed_losses = []
+    for b in batches[2:]:
+        state2, m = step_fn2(state2, b)
+        resumed_losses.append(float(m["loss"]))
+    np.testing.assert_allclose(resumed_losses, ref_losses[2:], rtol=0, atol=0)

@@ -97,8 +97,8 @@ def test_auction_more_targets_than_queries(rng):
 
 
 def test_auction_t_gt_q_realistic_costs(rng):
-    """T > Q on DETR-shaped costs (spatially structured): the pre-selection
-    heuristic should be near-optimal here."""
+    """T > Q on DETR-shaped costs (spatially structured): the transposed
+    auction (queries as bidders) should be near-optimal here."""
     B, Q, T = 2, 25, 60
     pb = rng.uniform(0.1, 0.9, (B, Q, 2))
     tb = rng.uniform(0.1, 0.9, (B, T, 2))
@@ -117,3 +117,66 @@ def test_auction_t_gt_q_realistic_costs(rng):
         opt = cost[b][rows, cols].sum()
         ours = cost[b][got[b][matched[b]], np.nonzero(matched[b])[0]].sum()
         assert ours <= opt + 0.05 * max(1.0, abs(opt)), (b, ours, opt)
+
+
+def test_exact_batched_match_equals_scipy_under_jit(rng):
+    """--exact_replay path: the pure_callback matcher returns scipy's exact
+    assignment (indices AND matched mask) from inside a jitted program, on
+    both T <= Q and T > Q geometries (reference matcher.py:243-246)."""
+    import jax
+
+    for B, Q, T in ((2, 10, 6), (2, 6, 17)):
+        cost = rng.normal(size=(B, Q, T)).astype(np.float32) * 3
+        valid = np.ones((B, T), dtype=bool)
+        valid[1, T // 2:] = False
+
+        got, matched = jax.jit(matching.exact_batched_match)(
+            jnp.array(cost), jnp.array(valid)
+        )
+        want_tq, want_m = matching.scipy_match(cost, valid)
+        np.testing.assert_array_equal(np.asarray(matched), want_m)
+        np.testing.assert_array_equal(
+            np.asarray(got)[want_m], np.asarray(want_tq)[want_m]
+        )
+
+
+def test_exact_match_trains_stage2():
+    """exact_match=True inside the full jitted stage-2 train step (grads
+    through stop_gradient'ed callback outputs must be a no-op)."""
+    import jax
+
+    from countdetr_tpu import config as cfglib
+    from countdetr_tpu.models import CountingDetr
+    from countdetr_tpu.train.optimizer import build_optimizer
+    from countdetr_tpu.train.train_step import create_state, make_train_step
+
+    cfg = cfglib.stage2_config()
+    cfg = cfg.replace(
+        model=cfg.model.replace(
+            enc_layers=1, dec_layers=1, hidden_dim=32, nheads=4,
+            dim_feedforward=64, num_query_position=9,
+        ),
+        train=cfg.train.replace(exact_match=True),
+    )
+    r = np.random.default_rng(0)
+    B, H, W, T = 2, 32, 32, 5
+    batch = {
+        "images": jnp.array(r.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "pad_mask": jnp.zeros((B, H, W), dtype=bool),
+        "exemplar_boxes": jnp.tile(
+            jnp.array([[0.1, 0.1, 0.3, 0.3]], jnp.float32), (B, 3, 1)
+        ),
+        "boxes": jnp.array(r.uniform(0.2, 0.7, (B, T, 4)).astype(np.float32)),
+        "boxes_valid": jnp.ones((B, T), dtype=bool),
+        "batch_valid": jnp.ones((B,), dtype=bool),
+    }
+    model = CountingDetr(cfg.model)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        exemplar_boxes=batch["exemplar_boxes"],
+    )
+    tx = build_optimizer(cfg.train, params, 10)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
