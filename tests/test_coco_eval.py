@@ -119,3 +119,50 @@ def test_native_matcher_matches_python(rng=None):
         assert got is not None
         np.testing.assert_array_equal(got[0], want_m, err_msg=f"trial {trial}")
         np.testing.assert_array_equal(got[1], want_ig, err_msg=f"trial {trial}")
+
+
+def test_analytic_ap_perfect_detection():
+    """Hand-derivable case: every GT detected exactly once at IoU 1.0 ->
+    AP = AP50 = AP75 = 1.0, AR = 1.0. Catches any shared misunderstanding
+    between implementation and the hand-written oracle (the genuine
+    pycocotools source is not obtainable in this image — no pip, no
+    network, no on-disk copy)."""
+    ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+    for k in range(3):
+        g = np.array([[10.0 * k, 5.0, 20.0, 30.0], [100.0, 100.0, 50.0, 40.0]])
+        ev.add_image(g.copy(), np.array([0.9, 0.8]), g)
+    out = ev.summarize()
+    for k in ("AP", "AP50", "AP75", "AR@900"):
+        assert out[k] == pytest.approx(1.0), (k, out[k])
+
+
+def test_analytic_ap50_half_matched():
+    """One image, 2 GTs, 2 dets: det A = GT1 exactly (score 0.9), det B
+    pure miss (score 0.8). Precision-recall curve: P=1 at R=0.5, then
+    P=1/2 at R=0.5 (no new recall). 101-pt interpolated AP50 =
+    sum_{r<=0.5} 1.0 / 101 = 51/101."""
+    ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+    gts = np.array([[0.0, 0.0, 10.0, 10.0], [50.0, 50.0, 10.0, 10.0]])
+    dets = np.array([[0.0, 0.0, 10.0, 10.0], [200.0, 200.0, 10.0, 10.0]])
+    ev.add_image(dets, np.array([0.9, 0.8]), gts)
+    out = ev.summarize()
+    assert out["AP50"] == pytest.approx(51.0 / 101.0)
+    assert out["AR@900"] == pytest.approx(0.5)
+
+
+def test_analytic_iou_threshold_boundary():
+    """Det overlapping a GT at IoU exactly 0.5: pycocotools matches at
+    threshold 0.5 (>= semantics) but not at 0.55. Shifted box [0,5,10,20]
+    vs GT [0,0,10,20]: inter = 10x15, union = 2*200-150 = 250, IoU = 0.6;
+    scaled construction below gives IoU exactly 0.5: det [0,10,10,20] vs
+    gt [0,0,10,20] -> inter 10x10=100, union 400-100=300 ... use a box
+    pair engineered for IoU=0.5: gt [0,0,10,30], det [0,10,10,30]:
+    inter 10x20=200, union 600-200=400, IoU=0.5."""
+    gt = np.array([[0.0, 0.0, 10.0, 30.0]])
+    det = np.array([[0.0, 10.0, 10.0, 30.0]])
+    ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+    ev.add_image(det, np.array([0.9]), gt)
+    out = ev.summarize()
+    # matched at t=0.50 only -> AP50 = 1, AP55..AP95 = 0; AP = 1/10
+    assert out["AP50"] == pytest.approx(1.0)
+    assert out["AP"] == pytest.approx(0.1)
