@@ -37,8 +37,19 @@ def get_args_parser():
     p.add_argument("--weight_decay", default=1e-4, type=float)
     p.add_argument("--epochs", default=30, type=int)
     p.add_argument("--lr_drop", default=20, type=int)
+    p.add_argument("--lr_drop_epochs", default=None, type=int, nargs="+",
+                   help="explicit drop epochs (MultiStepLR; overrides the "
+                   "periodic --lr_drop, reference 2nd-stage main.py:39)")
     p.add_argument("--clip_max_norm", default=0.1, type=float)
     p.add_argument("--sgd", action="store_true")
+    # param-group name knobs (reference 2nd-stage main.py:31-34). The
+    # defaults reproduce the reference grouping exactly (our optimizer
+    # labels params by tree path: 'backbone' vs everything else); non-default
+    # name lists have no counterpart in the flax tree and are rejected.
+    p.add_argument("--lr_backbone_names", default=["backbone"], type=str,
+                   nargs="+")
+    p.add_argument("--lr_linear_proj_names", default=[], type=str, nargs="+")
+    p.add_argument("--lr_linear_proj_mult", default=0.1, type=float)
 
     # model (reference main.py:52-95)
     p.add_argument("--backbone", default="resnet50", type=str)
@@ -73,10 +84,28 @@ def get_args_parser():
     p.add_argument("--aux_loss", dest="aux_loss", action="store_true", default=False)
     p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
 
-    # loss coefficients (reference main.py:96-121)
-    p.add_argument("--set_cost_class", default=2, type=float)
-    p.add_argument("--set_cost_bbox", default=5, type=float)
-    p.add_argument("--set_cost_giou", default=2, type=float)
+    # loss coefficients (reference main.py:96-121). The stage-2 tree renames
+    # the matcher-cost flags to --cost_* (2nd-stage main.py:105-108); both
+    # spellings are accepted here.
+    p.add_argument("--set_cost_class", "--cost_class", dest="set_cost_class",
+                   default=2, type=float)
+    p.add_argument("--set_cost_bbox", "--cost_bbox", dest="set_cost_bbox",
+                   default=5, type=float)
+    p.add_argument("--set_cost_giou", "--cost_giou", dest="set_cost_giou",
+                   default=2, type=float)
+    # parsed-but-inert in the reference too: the chamfer matcher reads its
+    # costs from defaults, the mask coefs multiply losses that never fire
+    # without mask GT, and --device/--remove_difficult are torch artifacts
+    # (2nd-stage main.py:110-115,126-131)
+    p.add_argument("--chamfer_point_cost", default=1, type=float)
+    p.add_argument("--chamfer_giou_cost", default=1, type=float)
+    p.add_argument("--mask_loss_coef", default=1, type=float)
+    p.add_argument("--dice_loss_coef", default=1, type=float)
+    p.add_argument("--point_loss_coef", default=5, type=float)
+    p.add_argument("--device", default="tpu", type=str,
+                   help="accepted for reference-CLI compatibility; "
+                   "placement is owned by jax")
+    p.add_argument("--remove_difficult", action="store_true")
     p.add_argument("--cls_loss_coef", default=2, type=float)
     p.add_argument("--bbox_loss_coef", default=5, type=float)
     p.add_argument("--giou_loss_coef", default=2, type=float)
@@ -193,12 +222,22 @@ def config_from_args(args) -> Config:
         max_boxes=args.max_boxes,
         buckets=buckets,
     )
+    if args.lr_backbone_names != ["backbone"] or args.lr_linear_proj_names:
+        raise SystemExit(
+            "--lr_backbone_names/--lr_linear_proj_names: only the reference "
+            "defaults (['backbone'] / []) map onto this parameter tree — "
+            "param groups here are the fixed backbone/main split "
+            "(train/optimizer.py)"
+        )
     train = TrainConfig(
         lr=args.lr,
         lr_backbone=args.lr_backbone,
         weight_decay=args.weight_decay,
         epochs=args.epochs,
         lr_drop=args.lr_drop,
+        lr_drop_epochs=(
+            tuple(args.lr_drop_epochs) if args.lr_drop_epochs else None
+        ),
         clip_max_norm=args.clip_max_norm,
         sgd=args.sgd,
         seed=args.seed,

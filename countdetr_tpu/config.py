@@ -117,6 +117,9 @@ class TrainConfig:
     weight_decay: float = 1e-4
     epochs: int = 30
     lr_drop: int = 20  # StepLR: lr *= 0.1 at epoch lr_drop
+    # explicit drop epochs (MultiStepLR; overrides lr_drop when set —
+    # reference 2nd-stage main.py:39 --lr_drop_epochs)
+    lr_drop_epochs: Optional[Tuple[int, ...]] = None
     clip_max_norm: float = 0.1
     sgd: bool = False
     seed: int = 42

@@ -191,7 +191,7 @@ class Batcher:
                 f"Batcher: sample has {n} {kind} but capacity is {cap}; "
                 f"extra {kind} are dropped from the padded arrays (counting "
                 f"GT still uses the untruncated n_{kind} in meta). Raise "
-                f"max_{kind} or use point_tiers to keep them all.",
+                f"max_{kind} or use point_tiers/box_tiers to keep them all.",
                 stacklevel=3,
             )
 

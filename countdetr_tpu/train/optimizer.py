@@ -38,8 +38,22 @@ def _label(path) -> str:
     return "main"
 
 
-def make_schedule(base_lr: float, lr_drop_epoch: int, steps_per_epoch: int):
-    """StepLR parity: multiply by 0.1 every lr_drop epochs."""
+def make_schedule(base_lr: float, lr_drop_epoch: int, steps_per_epoch: int,
+                  drop_epochs=None):
+    """StepLR parity: multiply by 0.1 every lr_drop epochs. With
+    drop_epochs (a list), MultiStepLR parity instead: one 0.1 factor per
+    listed epoch reached (reference main.py --lr_drop_epochs)."""
+    if drop_epochs:
+        import jax.numpy as jnp
+
+        boundaries = jnp.asarray(sorted(drop_epochs), jnp.int32)
+
+        def sched(step):
+            epoch = step // max(steps_per_epoch, 1)
+            n_drops = (boundaries <= epoch).sum()
+            return base_lr * jax.numpy.power(0.1, n_drops)
+
+        return sched
 
     def sched(step):
         epoch = step // max(steps_per_epoch, 1)
@@ -53,8 +67,13 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     labels = jax.tree_util.tree_map_with_path(lambda p, _: _label(p), params)
 
-    main_sched = make_schedule(cfg.lr, cfg.lr_drop, steps_per_epoch)
-    bb_sched = make_schedule(cfg.lr_backbone, cfg.lr_drop, steps_per_epoch)
+    main_sched = make_schedule(
+        cfg.lr, cfg.lr_drop, steps_per_epoch, drop_epochs=cfg.lr_drop_epochs
+    )
+    bb_sched = make_schedule(
+        cfg.lr_backbone, cfg.lr_drop, steps_per_epoch,
+        drop_epochs=cfg.lr_drop_epochs,
+    )
 
     def adamw(sched):
         if cfg.sgd:

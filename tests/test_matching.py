@@ -180,3 +180,26 @@ def test_exact_match_trains_stage2():
     step = make_train_step(model, tx, cfg)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_bf16_costs_converge_and_match_fully(rng):
+    """Regression: a bfloat16 cost matrix (what a bf16 compute dtype feeds
+    the matcher) must still converge — eps = span/1000 is below bf16's
+    ~2^-8 relative resolution, so solving in bf16 cycles to the iteration
+    cap and returns an INCOMPLETE matching. The matcher casts to float32
+    internally; every min(Q, #valid) pair must be assigned."""
+    B, Q, T = 4, 48, 64  # T > Q: the transposed (tight-market) path
+    cost = rng.normal(size=(B, Q, T)).astype(np.float32)
+    valid = np.ones((B, T), dtype=bool)
+    got, matched = matching.batched_match(
+        jnp.array(cost, dtype=jnp.bfloat16), jnp.array(valid)
+    )
+    matched = np.asarray(matched)
+    for b in range(B):
+        assert matched[b].sum() == Q, (b, matched[b].sum())
+    # T <= Q path too: all valid targets matched
+    got2, matched2 = matching.batched_match(
+        jnp.array(cost[:, :, :32], dtype=jnp.bfloat16).transpose(0, 2, 1)[:, :, :20],
+        jnp.ones((B, 20), bool),
+    )
+    assert np.asarray(matched2).all()

@@ -301,3 +301,22 @@ def test_stage2_sampled_prior_trains(rng):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_multistep_lr_schedule():
+    """--lr_drop_epochs MultiStepLR parity (reference 2nd-stage main.py:39):
+    one 0.1 factor per listed epoch reached; overrides the periodic drop."""
+    import numpy as np
+
+    from countdetr_tpu.train.optimizer import make_schedule
+
+    sched = make_schedule(1.0, 20, steps_per_epoch=10, drop_epochs=[2, 5])
+    # epoch 0-1: 1.0; epoch 2-4: 0.1; epoch 5+: 0.01
+    assert float(sched(0)) == 1.0
+    assert float(sched(19)) == 1.0
+    assert float(sched(20)) == np.float32(0.1)
+    assert float(sched(49)) == np.float32(0.1)
+    assert abs(float(sched(50)) - 0.01) < 1e-9
+    # without drop_epochs: periodic StepLR
+    s2 = make_schedule(1.0, 2, steps_per_epoch=10)
+    assert float(s2(19)) == 1.0 and float(s2(20)) == np.float32(0.1)
