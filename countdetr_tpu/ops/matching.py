@@ -45,11 +45,23 @@ def _auction(benefit, active, eps, max_iters):
     benefit: (T, Q) value of object q for person t; active: (T,) persons that
     must be assigned. Returns assigned (T,) object per person (-1 possible
     only if max_iters was hit).
+
+    The round body is all DENSE (T, Q) ops — no scatters. TPU A/B at
+    (B8, 576x700): scatter-based second-best masking / assignment rebuild
+    run ~1.7x slower (406 -> 239 ms on a 1629-round degenerate cost,
+    210 -> 126 ms on an 835-round init-model cost); scatter-max bid
+    resolution and top_k variants are far worse still (300-1400 ms). Round
+    count, not round cost, is the remaining ceiling: contention on
+    near-identical rows needs O(1000) rounds at eps = span/1000, which is
+    why stage-2 training routes sparse images to small-T box tiers
+    (data/batching.py box_tiers) where T <= Q converges in tens of rounds.
     """
     T, Q = benefit.shape
     owner0 = jnp.full((Q,), -1, dtype=jnp.int32)
     assigned0 = jnp.where(active, -1, 0).astype(jnp.int32)
     prices0 = jnp.zeros((Q,), dtype=benefit.dtype)
+    iota_q = jnp.arange(Q, dtype=jnp.int32)
+    iota_t = jnp.arange(T, dtype=jnp.int32)
 
     def cond(state):
         i, owner, assigned, prices = state
@@ -64,7 +76,7 @@ def _auction(benefit, active, eps, max_iters):
         values = benefit - prices[None, :]  # (T, Q)
         q1 = jnp.argmax(values, axis=1)
         v1 = jnp.take_along_axis(values, q1[:, None], axis=1)[:, 0]
-        masked = values.at[jnp.arange(T), q1].set(NEG_INF)
+        masked = jnp.where(iota_q[None, :] == q1[:, None], NEG_INF, values)
         v2 = jnp.max(masked, axis=1)
         v2 = jnp.where(v2 > NEG_INF / 2, v2, v1 - 1.0)  # Q == 1 fallback
         bid_price = (
@@ -73,7 +85,7 @@ def _auction(benefit, active, eps, max_iters):
 
         # per object, the highest simultaneous bidder wins
         bid_matrix = jnp.where(
-            unassigned[:, None] & (q1[:, None] == jnp.arange(Q)[None, :]),
+            unassigned[:, None] & (q1[:, None] == iota_q[None, :]),
             bid_price[:, None],
             NEG_INF,
         )
@@ -84,12 +96,12 @@ def _auction(benefit, active, eps, max_iters):
         new_owner = jnp.where(has_winner, winner_t, owner)
         new_prices = jnp.where(has_winner, winner_bid, prices)
 
-        # rebuild assignment from ownership (each person owns <= 1 object)
-        assigned_new = jnp.full((T + 1,), -1, dtype=jnp.int32)
-        scatter_idx = jnp.where(new_owner >= 0, new_owner, T)
-        assigned_new = assigned_new.at[scatter_idx].set(
-            jnp.arange(Q, dtype=jnp.int32), mode="drop"
-        )[:T]
+        # rebuild assignment from ownership, densely: person t owns object
+        # q iff new_owner[q] == t (each person owns <= 1 object)
+        own_mat = new_owner[None, :] == iota_t[:, None]  # (T, Q)
+        assigned_new = jnp.max(
+            jnp.where(own_mat, iota_q[None, :], -1), axis=1
+        )
         assigned_new = jnp.where(active, assigned_new, 0)
         return (i + 1, new_owner, assigned_new, new_prices)
 
@@ -161,9 +173,9 @@ def batched_match(
 
     Always solves in float32: under a bfloat16 compute dtype the cost
     matrix arrives bf16, and eps = span/1000 is BELOW bf16's ~2^-8
-    relative resolution — price increments round to zero, the auction
-    cycles to its iteration cap every call, and the train step slows ~7x
-    (measured at Q576/T700, 592px: 19 -> 130+ img/s after this cast)."""
+    relative resolution — price increments round to zero and the auction
+    can cycle to its iteration cap, returning an INCOMPLETE matching
+    (fewer than min(Q, #valid) pairs; tests/test_matching.py pins this)."""
     return jax.vmap(lambda c, v: auction_lap(c, v, eps_frac=eps_frac))(
         cost.astype(jnp.float32), tgt_valid
     )

@@ -49,7 +49,7 @@ else
   python - <<EOF
 import json, os
 n_train = len(json.load(open(os.path.join("${DATA_PATH}", "Train_Test_Val_FSC_147.json")))["train"])
-ips = 140.0  # measured e2e train img/s/chip at 592px (PERFORMANCE.md; device-only 533)
+ips = 105.0  # tier-mix effective train img/s/chip at 592px (PERFORMANCE.md round 3)
 s1 = n_train * ${S1_EPOCHS} / ips / 3600
 s2 = n_train * ${S2_EPOCHS} / ips / 3600
 print(f"== expected wall time at {ips:.0f} img/s/chip: stage1 ~{s1:.1f} h, stage2 ~{s2:.1f} h ==")
