@@ -236,9 +236,65 @@ def train_throughput(stage=2, size=384, batch=8, dtype="bfloat16", iters=10,
     return out
 
 
+def match_bench(batch=8, queries=576, targets=700, iters=3):
+    """A/B the two auction bodies (XLA while_loop vs fused Pallas kernel)
+    on the matcher alone, at the given (B, Q, T) geometry, over three cost
+    structures: random, DETR-shaped (spatial L1 + class), and degenerate
+    near-identical rows (the worst-case contention that needs ~1600 Jacobi
+    rounds). Iterates in-graph with a data dependency so the axon tunnel's
+    per-dispatch latency doesn't pollute the numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from countdetr_tpu.ops import matching
+
+    rng = np.random.default_rng(0)
+    B, Q, T = batch, queries, targets
+    structures = {}
+    structures["random"] = rng.normal(size=(B, Q, T)).astype(np.float32) * 5
+    pb = rng.uniform(0.1, 0.9, (B, Q, 2))
+    tb = rng.uniform(0.1, 0.9, (B, T, 2))
+    l1 = np.abs(pb[:, :, None] - tb[:, None, :]).sum(-1)
+    cls = rng.uniform(-1, 0, (B, Q, 1))
+    structures["detr"] = (5 * l1 + 2 * cls).astype(np.float32)
+    base = rng.normal(size=(B, 1, T)).astype(np.float32)
+    structures["degenerate"] = (
+        base + rng.normal(size=(B, Q, T)).astype(np.float32) * 1e-4
+    )
+    valid = jnp.ones((B, T), dtype=bool)
+
+    results = {"mode": "match", "batch": B, "queries": Q, "targets": T}
+    for route in ("off", "auto"):
+        matching.PALLAS_AUCTION = route
+        matching.batched_match.clear_cache()
+
+        @jax.jit
+        def run(cost):
+            def body(i, acc):
+                tq, m = matching.batched_match(
+                    cost + acc * 1e-12, valid
+                )
+                return acc + tq.sum().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        label = "pallas" if route == "auto" else "xla"
+        for name, cost in structures.items():
+            c = jnp.array(cost)
+            float(run(c))  # compile + warm
+            t0 = time.perf_counter()
+            float(run(c))
+            dt = time.perf_counter() - t0
+            results[f"{label}_{name}_ms"] = round(dt / iters * 1e3, 2)
+    matching.batched_match.clear_cache()
+    print(json.dumps(results))
+    return results
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="flops", choices=["flops", "train", "e2e"])
+    ap.add_argument("--mode", default="flops",
+                    choices=["flops", "train", "e2e", "match"])
     ap.add_argument("--stage", default=2, type=int)
     ap.add_argument("--size", default=592, type=int)
     ap.add_argument("--batch", default=8, type=int)
@@ -255,6 +311,14 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.mode == "flops":
         flops_report(a.stage, a.size, "float32")
+    elif a.mode == "match":
+        q = a.queries or 600
+        match_bench(
+            batch=a.batch,
+            queries=int(q ** 0.5) ** 2,  # grid prior: 600 positions -> 24x24
+            targets=a.max_boxes or 700,
+            iters=a.iters,
+        )
     elif a.mode == "e2e":
         e2e_throughput(
             a.stage, a.size, a.batch, a.dtype, num_workers=a.num_workers,

@@ -31,12 +31,41 @@ query, the rectangular-LAP optimum — and `matched` marks the winners.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# startup-only knob (read once at import, like COUNTDETR_PALLAS_VARIANT):
+#   auto (default)  - fused Pallas auction on a single-device TPU process
+#   off             - always the XLA while_loop body
+#   interpret       - Pallas in interpreter mode (CPU tests)
+PALLAS_AUCTION = os.environ.get("COUNTDETR_PALLAS_AUCTION", "auto")
+
+
+def _pallas_auction_mode(persons: int, objects: int) -> str | None:
+    """Route to the VMEM-resident kernel (ops/pallas/auction_kernel.py) when
+    it applies: the benefit block must fit the kernel's VMEM budget, and
+    pallas_call has no SPMD partitioning rule, so multi-device/multi-host
+    programs keep the (partitionable) XLA body."""
+    if PALLAS_AUCTION == "off":
+        return None
+    from countdetr_tpu.ops.pallas import auction_kernel
+
+    if persons * objects > auction_kernel.MAX_ELEMS:
+        return None
+    if PALLAS_AUCTION == "interpret":
+        return "interpret"
+    if (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and jax.process_count() == 1
+    ):
+        return "tpu"
+    return None
 
 
 def _auction(benefit, active, eps, max_iters):
@@ -166,7 +195,9 @@ def batched_match(
     tgt_valid: jnp.ndarray,  # (B, T) bool
     eps_frac: float = 1e-3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """vmapped auction over the batch.
+    """Batched auction over the batch (vmapped XLA body, or the fused
+    Pallas kernel when _pallas_auction_mode applies — same algorithm, with
+    per-image early exit instead of vmap's batch-max round count).
 
     Returns (tgt2query (B, T) int32, matched (B, T) bool); matched ==
     tgt_valid when T <= Q, a subset of it otherwise.
@@ -176,9 +207,50 @@ def batched_match(
     relative resolution — price increments round to zero and the auction
     can cycle to its iteration cap, returning an INCOMPLETE matching
     (fewer than min(Q, #valid) pairs; tests/test_matching.py pins this)."""
-    return jax.vmap(lambda c, v: auction_lap(c, v, eps_frac=eps_frac))(
-        cost.astype(jnp.float32), tgt_valid
+    cost = cost.astype(jnp.float32)
+    B, Q, T = cost.shape
+    persons, objects = (T, Q) if T <= Q else (Q, T)
+    mode = _pallas_auction_mode(persons, objects)
+    if mode is None:
+        return jax.vmap(lambda c, v: auction_lap(c, v, eps_frac=eps_frac))(
+            cost, tgt_valid
+        )
+
+    from countdetr_tpu.ops.pallas import auction_kernel
+
+    interpret = mode == "interpret"
+    span = jnp.maximum(
+        cost.max(axis=(1, 2)) - cost.min(axis=(1, 2)), 1e-3
     )
+    eps = span * eps_frac
+    iters_cap = 16 * T + 2048
+    if T <= Q:
+        benefit = jnp.where(
+            tgt_valid[:, :, None], -jnp.swapaxes(cost, 1, 2), 0.0
+        )
+        assigned = auction_kernel.auction_assign(
+            benefit, tgt_valid, eps, iters_cap, interpret=interpret
+        )
+        return jnp.where(tgt_valid, jnp.clip(assigned, 0), 0), tgt_valid
+
+    # T > Q: transposed auction, same prep as auction_lap's T > Q branch
+    big = (span + eps) * (Q + 2)
+    benefit = jnp.where(tgt_valid[:, None, :], -cost, -big[:, None, None])
+    assigned = auction_kernel.auction_assign(
+        benefit, jnp.ones((B, Q), bool), eps, iters_cap,
+        interpret=interpret,
+    )
+
+    def post(a):
+        q_of_t = jnp.full((T + 1,), -1, jnp.int32)
+        t_scatter = jnp.where(a >= 0, a, T)
+        return q_of_t.at[t_scatter].set(
+            jnp.arange(Q, dtype=jnp.int32), mode="drop"
+        )[:T]
+
+    q_of_t = jax.vmap(post)(assigned)
+    matched = (q_of_t >= 0) & tgt_valid
+    return jnp.where(matched, jnp.clip(q_of_t, 0), 0), matched
 
 
 def exact_batched_match(
