@@ -515,7 +515,7 @@ def main(args):
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
-        eval_step = make_eval_step(model, cfg)
+        eval_step = make_eval_step(model, cfg, mesh=mesh)
         vstats = gather_metrics(engine.evaluate(eval_step, params, vb, mesh))
         if is_main_process():
             print(json.dumps(vstats, indent=2))
@@ -601,8 +601,10 @@ def main(args):
                 bad_steps=replicate(state.bad_steps, mesh),
             )
 
-    train_step = make_train_step(model, tx, cfg)
-    eval_step = make_eval_step(model, cfg) if val_ds is not None else None
+    train_step = make_train_step(model, tx, cfg, mesh=mesh)
+    eval_step = (
+        make_eval_step(model, cfg, mesh=mesh) if val_ds is not None else None
+    )
     log_path = os.path.join(args.output_dir, "log.txt")
     vb = None
     if val_ds is not None and eval_step is not None:

@@ -46,11 +46,15 @@ NEG_INF = -1e30
 PALLAS_AUCTION = os.environ.get("COUNTDETR_PALLAS_AUCTION", "auto")
 
 
-def _pallas_auction_mode(persons: int, objects: int) -> str | None:
+def _pallas_auction_mode(
+    persons: int, objects: int, sharded: bool = False
+) -> str | None:
     """Route to the VMEM-resident kernel (ops/pallas/auction_kernel.py) when
     it applies: the benefit block must fit the kernel's VMEM budget, and
-    pallas_call has no SPMD partitioning rule, so multi-device/multi-host
-    programs keep the (partitionable) XLA body."""
+    pallas_call has no SPMD partitioning rule of its own, so multi-device
+    programs only take the kernel when the caller provides a mesh to
+    shard_map it over (`sharded`); otherwise they keep the partitionable
+    XLA body."""
     if PALLAS_AUCTION == "off":
         return None
     from countdetr_tpu.ops.pallas import auction_kernel
@@ -59,10 +63,8 @@ def _pallas_auction_mode(persons: int, objects: int) -> str | None:
         return None
     if PALLAS_AUCTION == "interpret":
         return "interpret"
-    if (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and jax.process_count() == 1
+    if jax.default_backend() == "tpu" and (
+        (jax.device_count() == 1 and jax.process_count() == 1) or sharded
     ):
         return "tpu"
     return None
@@ -189,15 +191,25 @@ def auction_lap(
     return tgt2query, matched
 
 
-@functools.partial(jax.jit, static_argnames=("eps_frac",))
+@functools.partial(
+    jax.jit, static_argnames=("eps_frac", "mesh", "data_axis")
+)
 def batched_match(
     cost: jnp.ndarray,  # (B, Q, T)
     tgt_valid: jnp.ndarray,  # (B, T) bool
     eps_frac: float = 1e-3,
+    mesh=None,
+    data_axis: str = "data",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched auction over the batch (vmapped XLA body, or the fused
     Pallas kernel when _pallas_auction_mode applies — same algorithm, with
     per-image early exit instead of vmap's batch-max round count).
+
+    `mesh`: a jax.sharding.Mesh whose `data_axis` shards the batch dim.
+    When given (and the batch divides the axis), the Pallas kernel is
+    shard_mapped over it so multi-device programs keep the kernel — each
+    device solves its local batch slice in VMEM; without a mesh,
+    multi-device programs fall back to the partitionable XLA body.
 
     Returns (tgt2query (B, T) int32, matched (B, T) bool); matched ==
     tgt_valid when T <= Q, a subset of it otherwise.
@@ -209,8 +221,13 @@ def batched_match(
     (fewer than min(Q, #valid) pairs; tests/test_matching.py pins this)."""
     cost = cost.astype(jnp.float32)
     B, Q, T = cost.shape
+    n_shards = 1
+    if mesh is not None and data_axis in getattr(mesh, "shape", {}):
+        n = mesh.shape[data_axis]
+        if n > 1 and B % n == 0:
+            n_shards = n
     persons, objects = (T, Q) if T <= Q else (Q, T)
-    mode = _pallas_auction_mode(persons, objects)
+    mode = _pallas_auction_mode(persons, objects, sharded=n_shards > 1)
     if mode is None:
         return jax.vmap(lambda c, v: auction_lap(c, v, eps_frac=eps_frac))(
             cost, tgt_valid
@@ -219,27 +236,37 @@ def batched_match(
     from countdetr_tpu.ops.pallas import auction_kernel
 
     interpret = mode == "interpret"
+    iters_cap = 16 * T + 2048
+
+    def assign(benefit, active, eps):
+        return auction_kernel.auction_assign(
+            benefit, active, eps, iters_cap, interpret=interpret
+        )
+
+    if n_shards > 1:
+        from jax.sharding import PartitionSpec as _P
+
+        spec = _P(data_axis)
+        assign = jax.shard_map(
+            assign, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )
+
     span = jnp.maximum(
         cost.max(axis=(1, 2)) - cost.min(axis=(1, 2)), 1e-3
     )
     eps = span * eps_frac
-    iters_cap = 16 * T + 2048
     if T <= Q:
         benefit = jnp.where(
             tgt_valid[:, :, None], -jnp.swapaxes(cost, 1, 2), 0.0
         )
-        assigned = auction_kernel.auction_assign(
-            benefit, tgt_valid, eps, iters_cap, interpret=interpret
-        )
+        assigned = assign(benefit, tgt_valid, eps)
         return jnp.where(tgt_valid, jnp.clip(assigned, 0), 0), tgt_valid
 
     # T > Q: transposed auction, same prep as auction_lap's T > Q branch
     big = (span + eps) * (Q + 2)
     benefit = jnp.where(tgt_valid[:, None, :], -cost, -big[:, None, None])
-    assigned = auction_kernel.auction_assign(
-        benefit, jnp.ones((B, Q), bool), eps, iters_cap,
-        interpret=interpret,
-    )
+    assigned = assign(benefit, jnp.ones((B, Q), bool), eps)
 
     def post(a):
         q_of_t = jnp.full((T + 1,), -1, jnp.int32)

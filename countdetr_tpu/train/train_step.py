@@ -64,7 +64,8 @@ def stage1_loss(model, params, batch, cfg: Config, rngs=None):
     return total, parts
 
 
-def stage2_loss(model, params, batch, cfg: Config, rngs=None):
+def stage2_loss(model, params, batch, cfg: Config, rngs=None, mesh=None,
+                data_axis="data"):
     # 'sampled' prior: density-drawn points become the anchors (reference
     # engine.py:26-33 passes ret['sampled_points'] into the model)
     out = model.apply(
@@ -91,7 +92,11 @@ def stage2_loss(model, params, batch, cfg: Config, rngs=None):
         )
         if cfg.train.exact_match:
             return matching.exact_batched_match(cost, batch["boxes_valid"])
-        return matching.batched_match(cost, batch["boxes_valid"])
+        # mesh keeps the fused Pallas auction on multi-device programs
+        # (shard_mapped over the data axis; see ops/matching.batched_match)
+        return matching.batched_match(
+            cost, batch["boxes_valid"], mesh=mesh, data_axis=data_axis
+        )
 
     tgt2query, matched = match(out["pred_logits"], out["pred_boxes"])
     parts = loss_ops.stage2_criterion(
@@ -148,8 +153,20 @@ def _prepare_stage2_batch(batch: Dict) -> Dict:
     return batch
 
 
-def make_train_step(model, tx, cfg: Config):
-    loss_fn = stage1_loss if cfg.model.stage == 1 else stage2_loss
+def _stage2_loss_with_mesh(cfg: Config, mesh):
+    """stage2_loss with the matcher's mesh routing bound in (the data axis
+    is the first mesh axis by the framework's layout convention)."""
+    if mesh is None:
+        return stage2_loss
+    data_axis = mesh.axis_names[0]
+    return functools.partial(stage2_loss, mesh=mesh, data_axis=data_axis)
+
+
+def make_train_step(model, tx, cfg: Config, mesh=None):
+    loss_fn = (
+        stage1_loss if cfg.model.stage == 1
+        else _stage2_loss_with_mesh(cfg, mesh)
+    )
     # dropout only materializes an rng stream when the rate is nonzero —
     # the reference's published runs all use --dropout 0.0
     use_dropout = cfg.model.dropout > 0.0
@@ -178,8 +195,11 @@ def make_train_step(model, tx, cfg: Config):
     return train_step
 
 
-def make_eval_step(model, cfg: Config):
-    loss_fn = stage1_loss if cfg.model.stage == 1 else stage2_loss
+def make_eval_step(model, cfg: Config, mesh=None):
+    loss_fn = (
+        stage1_loss if cfg.model.stage == 1
+        else _stage2_loss_with_mesh(cfg, mesh)
+    )
 
     @jax.jit
     def eval_step(params, batch) -> Dict:

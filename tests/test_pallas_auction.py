@@ -72,6 +72,52 @@ def test_batched_match_pallas_near_scipy_optimum(rng):
         assert ours <= opt + 1e-2 * max(1.0, abs(opt)), (b, ours, opt)
 
 
+def test_batched_match_sharded_pallas_route_matches_xla(rng):
+    """With a mesh, multi-device programs keep the kernel: batched_match
+    shard_maps the pallas call over the data axis, and each device solves
+    its local batch slice — results must equal the unsharded XLA route
+    (both orientations). Runs on the conftest's 8 virtual CPU devices."""
+    from countdetr_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh((8,), ("data",))
+    for B, Q, T in ((8, 24, 16), (8, 10, 30)):
+        cost = rng.normal(size=(B, Q, T)).astype(np.float32) * 5
+        valid = np.ones((B, T), dtype=bool)
+        valid[0, T // 2:] = False
+        tq_x, m_x = _routed(cost, valid, "off")
+        old = matching.PALLAS_AUCTION
+        matching.PALLAS_AUCTION = "interpret"
+        matching.batched_match.clear_cache()
+        try:
+            got = matching.batched_match(
+                jnp.array(cost), jnp.array(valid), mesh=mesh,
+                data_axis="data",
+            )
+            tq_p, m_p = (np.asarray(x) for x in got)
+        finally:
+            matching.PALLAS_AUCTION = old
+            matching.batched_match.clear_cache()
+        np.testing.assert_array_equal(m_p, m_x)
+        np.testing.assert_array_equal(tq_p[m_p], tq_x[m_x])
+
+
+def test_batched_match_mesh_indivisible_batch_falls_back(rng):
+    """B not divisible by the data axis: the mesh routing must quietly fall
+    back to the (partitionable) XLA body rather than failing to shard."""
+    from countdetr_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh((8,), ("data",))
+    B, Q, T = 3, 12, 8
+    cost = rng.normal(size=(B, Q, T)).astype(np.float32)
+    valid = np.ones((B, T), dtype=bool)
+    want = _routed(cost, valid, "off")
+    got = matching.batched_match(
+        jnp.array(cost), jnp.array(valid), mesh=mesh, data_axis="data"
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+    np.testing.assert_array_equal(np.asarray(got[1]), want[1])
+
+
 def test_capacity_gate_falls_back_to_xla():
     """Shapes past the VMEM budget must take the XLA route even when the
     kernel is requested (the 4096 box tier)."""
