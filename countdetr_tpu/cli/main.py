@@ -123,6 +123,9 @@ def get_args_parser():
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--sync_checkpoint", action="store_true",
+                   help="block the epoch loop on checkpoint writes instead "
+                   "of the default async (background) Orbax save")
     p.add_argument("--checkpoint_path", default="", type=str)
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--scale_factor", default=32, type=int)
@@ -253,6 +256,7 @@ def config_from_args(args) -> Config:
         output_dir=args.output_dir,
         resume=args.resume,
         auto_resume=args.auto_resume,
+        async_checkpoint=not args.sync_checkpoint,
         log_every=args.log_every,
     )
     return Config(model=model, data=data, train=train)
@@ -563,6 +567,7 @@ def main(args):
 
     start_epoch = args.start_epoch
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    saver = ckpt.AsyncSaver() if cfg.train.async_checkpoint else None
 
     def _full_restore(directory: str, label: str) -> bool:
         """params + opt_state (Adam moments, StepLR position) + epoch + the
@@ -656,9 +661,16 @@ def main(args):
             # ALL processes call the save (Orbax saving of global arrays is
             # a collective; rank 0 alone writes the side-car metadata —
             # unlike the reference's torch save_on_master, main.py:302-311)
-            ckpt.save_checkpoint(
-                ckpt_dir, epoch, state, {"epoch": epoch}, cfg=cfg
-            )
+            if saver is not None:
+                saver.save(ckpt_dir, epoch, state, {"epoch": epoch}, cfg=cfg)
+            else:
+                ckpt.save_checkpoint(
+                    ckpt_dir, epoch, state, {"epoch": epoch}, cfg=cfg
+                )
+    if saver is not None:
+        # commit the in-flight write + publish latest.json before anything
+        # (a follow-on --infer invocation, the user) reads the directory
+        saver.finalize()
     if is_main_process():
         print("training done")
     return state

@@ -148,6 +148,10 @@ class TrainConfig:
     resume: str = ""
     auto_resume: bool = False
     checkpoint_every: int = 1  # epochs
+    # overlap the Orbax write with the next epoch's compute (the reference
+    # blocks its loop on torch.save, main.py:297-311); --sync_checkpoint
+    # restores blocking saves
+    async_checkpoint: bool = True
     log_every: int = 100  # steps
 
     # parallelism

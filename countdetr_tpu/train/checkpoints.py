@@ -40,28 +40,21 @@ def config_to_dict(cfg) -> Dict:
     return dataclasses.asdict(cfg)
 
 
-def save_checkpoint(
-    directory: str, step: int, state, extra: Optional[Dict] = None, cfg=None
-):
-    """Multi-process note: unlike the reference's torch save_on_master
-    (util/misc.py:394-396), Orbax saving of global jax.Arrays is a
-    COLLECTIVE — every process must call this (only rank 0 writes the
-    side-car metadata files). Requires a shared filesystem across hosts.
-    """
-    import orbax.checkpoint as ocp
-
-    directory = os.path.abspath(directory)
-    os.makedirs(directory, exist_ok=True)
-    ckpt = ocp.StandardCheckpointer()
-    path = os.path.join(directory, f"checkpoint_{step}")
+def _state_payload(state) -> Dict:
     payload = {"params": state.params, "opt_state": state.opt_state}
     if getattr(state, "step", None) is not None:
         # optimizer step counter: --resume must restore the StepLR position
         # and the dropout fold_in stream, not just params (the reference
         # restores model+optimizer+lr_scheduler+epoch, main.py:217-238)
         payload["step"] = state.step
-    ckpt.save(path, payload, force=True)
-    ckpt.wait_until_finished()
+    return payload
+
+
+def _write_meta(directory: str, step: int, extra: Optional[Dict], cfg):
+    """Rank-0 side-car metadata + the latest.json pointer. Called only once
+    the Orbax write has COMMITTED — latest.json advancing is what makes a
+    checkpoint visible to --auto_resume, so a crash mid-write resumes from
+    the previous committed step instead of a torn one."""
     if jax.process_index() != 0:
         return
     meta = {"step": int(step)}
@@ -72,6 +65,75 @@ def save_checkpoint(
         json.dump(meta, f)
     with open(os.path.join(directory, "latest.json"), "w") as f:
         json.dump({"step": int(step)}, f)
+
+
+def save_checkpoint(
+    directory: str, step: int, state, extra: Optional[Dict] = None, cfg=None
+):
+    """Synchronous save (blocks until the write commits).
+
+    Multi-process note: unlike the reference's torch save_on_master
+    (util/misc.py:394-396), Orbax saving of global jax.Arrays is a
+    COLLECTIVE — every process must call this (only rank 0 writes the
+    side-car metadata files). Requires a shared filesystem across hosts.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    ckpt = ocp.StandardCheckpointer()
+    path = os.path.join(directory, f"checkpoint_{step}")
+    ckpt.save(path, _state_payload(state), force=True)
+    ckpt.wait_until_finished()
+    _write_meta(directory, step, extra, cfg)
+
+
+class AsyncSaver:
+    """Non-blocking checkpointing: the epoch loop resumes training while
+    Orbax serializes in background threads.
+
+    The reference blocks the loop on a synchronous torch.save every epoch
+    (main.py:297-311); orbax's AsyncCheckpointer instead returns once the
+    arrays are copied OUT of device memory (so donated buffers may be
+    reused by the next train step immediately) and writes to disk behind
+    the compute. save() first finalizes the PREVIOUS pending write — an
+    epoch of compute has usually already hidden it, making the wait ~free —
+    and only then publishes that write's metadata, so latest.json never
+    points at an uncommitted checkpoint. Call finalize() once after the
+    training loop (and before reading the directory back).
+
+    Multi-process: save()/finalize() are collective like save_checkpoint.
+    """
+
+    def __init__(self):
+        self._ckpt = None
+        self._pending = None  # (directory, step, extra, cfg)
+
+    def save(self, directory: str, step: int, state,
+             extra: Optional[Dict] = None, cfg=None):
+        import orbax.checkpoint as ocp
+
+        if self._ckpt is None:
+            self._ckpt = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self.finalize()
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"checkpoint_{step}")
+        self._ckpt.save(
+            path, args=ocp.args.StandardSave(_state_payload(state)),
+            force=True,
+        )
+        self._pending = (directory, step, extra, cfg)
+
+    def finalize(self):
+        """Block until the in-flight write commits, then publish its
+        metadata. Idempotent; no-op when nothing is pending."""
+        if self._ckpt is not None:
+            self._ckpt.wait_until_finished()
+        if self._pending is not None:
+            directory, step, extra, cfg = self._pending
+            _write_meta(directory, step, extra, cfg)
+            self._pending = None
 
 
 def latest_step(directory: str) -> Optional[int]:

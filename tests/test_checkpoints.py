@@ -63,6 +63,63 @@ def test_orbax_roundtrip(tmp_path, rng):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_async_saver_roundtrip_and_commit_ordering(tmp_path, rng):
+    """AsyncSaver: (1) latest.json must NOT advance until the pending write
+    is finalized (a crash mid-write resumes from the previous committed
+    step); (2) back-to-back saves finalize the earlier one; (3) the restored
+    state equals what was saved."""
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(
+        model=cfg.model.replace(
+            enc_layers=1, dec_layers=1, hidden_dim=32, nheads=4,
+            dim_feedforward=64,
+        )
+    )
+    model = CountingDetr(cfg.model)
+    B, H, W, P = 2, 32, 32, 3
+    batch = {
+        "images": jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "pad_mask": jnp.zeros((B, H, W), dtype=bool),
+        "points": jnp.array(rng.uniform(0.2, 0.8, (B, P, 2)).astype(np.float32)),
+        "points_valid": jnp.ones((B, P), dtype=bool),
+        "whs": jnp.array(rng.uniform(0.1, 0.3, (B, P, 2)).astype(np.float32)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    tx = build_optimizer(cfg.train, params, 10)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+    state, _ = step(state, batch)
+
+    saver = ckpt.AsyncSaver()
+    snap0 = jax.tree_util.tree_map(np.asarray, state.params)
+    saver.save(str(tmp_path), 0, state, {"epoch": 0})
+    # pending write: not yet visible to auto-resume
+    assert ckpt.latest_step(str(tmp_path)) is None
+
+    state, _ = step(state, batch)  # compute overlapping the write
+    snap1 = jax.tree_util.tree_map(np.asarray, state.params)
+    saver.save(str(tmp_path), 1, state, {"epoch": 1})
+    # the second save must have finalized (published) the first
+    assert ckpt.latest_step(str(tmp_path)) == 0
+    saver.finalize()
+    assert ckpt.latest_step(str(tmp_path)) == 1
+    saver.finalize()  # idempotent
+
+    for step_id, snap in ((0, snap0), (1, snap1)):
+        rparams, _, meta = ckpt.restore_checkpoint(
+            str(tmp_path), step_id, state
+        )
+        assert meta["epoch"] == step_id
+        for a, b in zip(
+            jax.tree_util.tree_leaves(snap),
+            jax.tree_util.tree_leaves(rparams),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_torch_import_rejects_shape_mismatch(rng):
     """A wrong-shaped tensor must fail loudly, not silently broadcast."""
     from countdetr_tpu.train.checkpoints import torch_state_dict_to_params
