@@ -127,6 +127,23 @@ def main():
                 compiled = True
             state, metrics = step(state, db)
             losses.append(float(metrics["loss"]))
+
+        # collective ASYNC checkpoint while training continues (what
+        # cli/main's epoch loop does): every process calls save/finalize,
+        # exercising orbax's multihost commit barrier under jax.distributed
+        out_dir = sys.argv[5] if len(sys.argv) > 5 else ""
+        if out_dir:
+            from countdetr_tpu.train import checkpoints as ckpt
+
+            saver = ckpt.AsyncSaver()
+            saver.save(out_dir, 0, state, {"epoch": 0})
+            state, metrics = step(state, db)  # overlap the write
+            losses.append(float(metrics["loss"]))
+            saver.finalize()
+            assert ckpt.latest_step(out_dir) == 0, "async save not committed"
+            p, o, _ = ckpt.restore_checkpoint(out_dir, 0, state)
+            n_restored = len(jax.tree_util.tree_leaves(p))
+            print(f"CKPT pid={pid} restored_leaves={n_restored}", flush=True)
     print(f"RESULT pid={pid} losses={','.join(f'{l:.8f}' for l in losses)}",
           flush=True)
 

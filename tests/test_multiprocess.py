@@ -96,3 +96,22 @@ def test_two_process_lockstep_on_uneven_dataset(tmp_path):
     assert len(l0) == 2  # ceil(5 / global_bs 4): the tail batch trains too
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     assert np.isfinite(l0).all()
+
+
+def test_two_process_async_checkpoint(tmp_path):
+    """Collective async checkpointing under jax.distributed: both processes
+    save via AsyncSaver while training continues, finalize commits the
+    write (latest.json advances), and the checkpoint restores on both.
+    Orbax's multihost commit barrier is the thing under test — a hang or
+    rank-divergent directory state fails the child assert."""
+    port = 12443
+    ckdir = str(tmp_path / "ck")
+    p0 = _run([0, 2, port, 4, ckdir], str(tmp_path / "p0.log"))
+    p1 = _run([1, 2, port, 4, ckdir], str(tmp_path / "p1.log"))
+    out0 = _wait(p0)
+    out1 = _wait(p1)
+    assert p0.returncode == 0, out0[-2000:]
+    assert p1.returncode == 0, out1[-2000:]
+    for out in (out0, out1):
+        assert "restored_leaves=" in out, out[-2000:]
+        assert np.isfinite(_losses(out)).all()
