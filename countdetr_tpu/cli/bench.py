@@ -8,7 +8,7 @@ Usage:
   python -m countdetr_tpu.cli.bench --mode flops [--stage 2] [--size 592]
   python -m countdetr_tpu.cli.bench --mode train [--batch 8] [--queries 600]
   python -m countdetr_tpu.cli.bench --mode e2e   [--num_workers 4] \
-      [--decoded_cache] [--n_images 64]
+      [--decoded_cache | --decoded_cache_dir DIR] [--n_images 64]
 
 --mode e2e measures what --mode train cannot: the full pipeline with JPEG
 decode + resize + batching + host->device transfer in the loop, on a
@@ -86,7 +86,8 @@ def flops_report(stage=2, size=592, dtype="float32"):
 
 def e2e_throughput(
     stage=2, size=592, batch=8, dtype="bfloat16", num_workers=0,
-    decoded_cache=False, n_images=64, epochs=2, data_root=None,
+    decoded_cache=False, decoded_cache_dir="", n_images=64, epochs=2,
+    data_root=None,
 ):
     """Full-pipeline training throughput on an on-disk synthetic dataset:
     epoch 1 warms compiles/caches, epoch 2 is timed with data loading in the
@@ -110,8 +111,11 @@ def e2e_throughput(
         root, n_train=n_images, n_val=4, n_test=4, size=(size, size),
         objects=(8, 48),
     )
-    cm = "decoded" if decoded_cache else False
+    cm = (f"disk:{decoded_cache_dir}" if decoded_cache_dir
+          else "decoded" if decoded_cache else False)
     ds = FSC147Pseudo(root, "train", cache_mode=cm)
+    # production default (cli/main.py): raw uint8 pipe, device-side normalize
+    ds.host_normalize = False
     cfg = cfglib.stage2_config()
     cfg = cfg.replace(
         model=cfg.model.replace(compute_dtype=dtype),
@@ -160,7 +164,7 @@ def e2e_throughput(
         "image_size": size,
         "batch": batch,
         "num_workers": num_workers,
-        "decoded_cache": bool(decoded_cache),
+        "decoded_cache": (decoded_cache_dir and "disk") or bool(decoded_cache),
         "img_per_s_e2e": round(n_e2e / dt_e2e, 2),
         "img_per_s_data_only": round(n_data / dt_data, 2),
         "data_fraction_of_step": round(
@@ -307,6 +311,7 @@ if __name__ == "__main__":
                     "(stage-2 production: 700)")
     ap.add_argument("--num_workers", default=0, type=int)
     ap.add_argument("--decoded_cache", action="store_true")
+    ap.add_argument("--decoded_cache_dir", default="", type=str)
     ap.add_argument("--n_images", default=64, type=int)
     a = ap.parse_args()
     if a.mode == "flops":
@@ -322,7 +327,8 @@ if __name__ == "__main__":
     elif a.mode == "e2e":
         e2e_throughput(
             a.stage, a.size, a.batch, a.dtype, num_workers=a.num_workers,
-            decoded_cache=a.decoded_cache, n_images=a.n_images,
+            decoded_cache=a.decoded_cache,
+            decoded_cache_dir=a.decoded_cache_dir, n_images=a.n_images,
         )
     else:
         train_throughput(

@@ -141,6 +141,18 @@ def get_args_parser():
                    help="cache RESIZED uint8 images in RAM (~1 MB/img): "
                    "epoch 2+ skip JPEG decode entirely — feeds the chip "
                    "where --cache_mode only skips disk IO")
+    p.add_argument("--decoded_cache_dir", default="", type=str,
+                   help="directory for an ON-DISK resized-uint8 cache "
+                   "shared across --num_workers processes and across runs "
+                   "(unlike --decoded_cache, workers don't each re-decode "
+                   "every image, and restarts start warm); overrides "
+                   "--decoded_cache/--cache_mode")
+    p.add_argument("--host_normalize", action="store_true",
+                   help="ImageNet-normalize images on the HOST as float32 "
+                   "(the reference pipeline). Default: ship raw resized "
+                   "uint8 and normalize on device — identical math in f32, "
+                   "4x less host->device traffic. --exact_replay implies "
+                   "this (bit-faithful host arithmetic)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first training "
                    "epoch into {output_dir}/profile (the reference's only "
@@ -218,6 +230,8 @@ def config_from_args(args) -> Config:
         num_workers=args.num_workers,
         cache_mode=args.cache_mode,
         decoded_cache=args.decoded_cache,
+        decoded_cache_dir=args.decoded_cache_dir,
+        host_normalize=bool(args.host_normalize or args.exact_replay),
         num_sampled_points=(
             args.num_sample_points if args.spatial_prior == "sampled" else 0
         ),
@@ -270,12 +284,22 @@ def _image_dir(cfg: Config) -> str:
 
 
 def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
+    ds = _build_dataset(name, split, cfg, pseudo)
+    # raw-uint8 pipe by default; --host_normalize / --exact_replay revert
+    ds.host_normalize = cfg.data.host_normalize
+    return ds
+
+
+def _build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
     dp, sf = cfg.data.data_path, cfg.data.scale_factor
     if cfg.data.dataset == "fscd_147":
         from countdetr_tpu.data import fscd147 as D
 
         nsp = cfg.data.num_sampled_points
-        cm = "decoded" if cfg.data.decoded_cache else cfg.data.cache_mode
+        cm = ("disk:" + cfg.data.decoded_cache_dir
+              if cfg.data.decoded_cache_dir else
+              "decoded" if cfg.data.decoded_cache else
+              cfg.data.cache_mode)
         if pseudo:
             return D.FSC147Pseudo(
                 dp, split, sf, num_sampled_points=nsp, cache_mode=cm
@@ -290,7 +314,10 @@ def build_dataset(name: str, split: str, cfg: Config, pseudo: bool = False):
     else:
         from countdetr_tpu.data import fscd_lvis as D
 
-        cm = "decoded" if cfg.data.decoded_cache else cfg.data.cache_mode
+        cm = ("disk:" + cfg.data.decoded_cache_dir
+              if cfg.data.decoded_cache_dir else
+              "decoded" if cfg.data.decoded_cache else
+              cfg.data.cache_mode)
         if pseudo:
             return D.FSCDLvisPseudo(dp, split, sf, cache_mode=cm)
         if name.endswith("_point"):

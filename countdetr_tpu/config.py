@@ -91,6 +91,14 @@ class DataConfig:
     # entirely (TPU addition — see data/fscd147.load_image); overrides
     # cache_mode when both are set
     decoded_cache: bool = False
+    # on-disk decoded cache directory, SHARED across worker processes and
+    # runs (data/cache.py); overrides decoded_cache/cache_mode when set
+    decoded_cache_dir: str = ""
+    # True: datasets emit ImageNet-normalized float32 (the reference's host
+    # pipeline). False (CLI default): raw resized uint8 — the model
+    # normalizes on device, host->device transfer shrinks 4x
+    # (models/anchor_detr.py::normalize_uint8)
+    host_normalize: bool = True
 
     # 'sampled' spatial prior: points drawn per image from the density map
     # (reference data/fsc147.py:127 — 300); 0 disables emission

@@ -42,7 +42,10 @@ def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
     wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
     top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
     bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
-    return (top * (1 - wy) + bot * wy).astype(img.dtype)
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(img.dtype, np.integer):
+        out = np.rint(out)  # round, don't truncate, raw uint8 images
+    return out.astype(img.dtype)
 
 
 def pad_to_bucket(img: np.ndarray, bucket: Tuple[int, int]):

@@ -32,8 +32,13 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 def load_image(path: str, scale_factor: int = 32,
                byte_cache: Optional[dict] = None,
-               decoded_cache: Optional[dict] = None):
-    """Returns (normalized HWC float32 image, (orig_w, orig_h)).
+               decoded_cache: Optional[dict] = None,
+               normalize: bool = True):
+    """Returns (normalized HWC float32 image, (orig_w, orig_h)); with
+    normalize=False, the resized RAW uint8 array instead — the model
+    ImageNet-normalizes uint8 inputs on device (models/anchor_detr.py), so
+    the host skips the float conversion AND the host->device transfer
+    shrinks 4x (1 MB vs 4.2 MB per 592px image).
 
     byte_cache: optional dict used as an in-RAM raw-bytes cache (the
     reference's cache_mode CocoDetection, torchvision_datasets/coco.py:54-73
@@ -45,9 +50,15 @@ def load_image(path: str, scale_factor: int = 32,
     fix the reference never needed at batch 1 on GPU but a 533 img/s chip
     does."""
     if decoded_cache is not None and path in decoded_cache:
-        arr8, (w, h) = decoded_cache[path]
-        arr = arr8.astype(np.float32) / 255.0
-        return (arr - IMAGENET_MEAN) / IMAGENET_STD, (w, h)
+        try:
+            arr8, (w, h) = decoded_cache[path]
+        except KeyError:
+            pass  # torn disk-cache blob — fall through, re-decode + rewrite
+        else:
+            if not normalize:
+                return arr8, (w, h)
+            arr = arr8.astype(np.float32) / 255.0
+            return (arr - IMAGENET_MEAN) / IMAGENET_STD, (w, h)
     if byte_cache is not None:
         import io
 
@@ -66,6 +77,8 @@ def load_image(path: str, scale_factor: int = 32,
     arr8 = np.asarray(img, dtype=np.uint8)
     if decoded_cache is not None:
         decoded_cache[path] = (arr8, (w, h))
+    if not normalize:
+        return arr8, (w, h)
     arr = arr8.astype(np.float32) / 255.0
     arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
     return arr, (w, h)
@@ -86,8 +99,9 @@ class FSCD147Base:
     def __init__(self, data_path: str, split: str, scale_factor: int = 32,
                  cache_mode=False):
         # cache_mode: False | True/'bytes' (reference --cache_mode raw-bytes
-        # RAM cache) | 'decoded' (resized-uint8 cache — skips epoch-2+
-        # decode, see load_image)
+        # RAM cache) | 'decoded' (per-process resized-uint8 RAM cache) |
+        # 'disk:<dir>' (resized-uint8 .npz cache shared across worker
+        # processes AND runs — data/cache.py)
         self.data_path = data_path
         self.split = split
         self.scale_factor = scale_factor
@@ -96,12 +110,16 @@ class FSCD147Base:
         with open(os.path.join(data_path, "Train_Test_Val_FSC_147.json")) as f:
             self.data_split = json.load(f)[split]
         self.im_dir = os.path.join(data_path, "images_384_VarV2")
+        from countdetr_tpu.data.cache import decoded_cache_from_mode
+
         self._byte_cache: Optional[dict] = (
             {} if cache_mode in (True, "bytes") else None
         )
-        self._decoded_cache: Optional[dict] = (
-            {} if cache_mode == "decoded" else None
-        )
+        self._decoded_cache = decoded_cache_from_mode(cache_mode)
+        # host_normalize=False emits raw resized uint8 images; the model
+        # normalizes on device (4x smaller host->device transfer, no host
+        # float math). build_dataset sets this from --host_normalize.
+        self.host_normalize: bool = True
 
     def __len__(self):
         return len(self.data_split)
@@ -111,6 +129,7 @@ class FSCD147Base:
             os.path.join(self.im_dir, name), self.scale_factor,
             byte_cache=self._byte_cache,
             decoded_cache=self._decoded_cache,
+            normalize=self.host_normalize,
         )
 
     def _name(self, idx) -> str:

@@ -29,9 +29,14 @@ from countdetr_tpu.data.fscd147 import load_image
 class _LvisBase:
     def __init__(self, data_path: str, split: str, scale_factor: int = 32,
                  gt_file: Optional[str] = None, cache_mode=False):
-        # cache_mode: False | True/'bytes' | 'decoded' (see fscd147.load_image)
+        # cache_mode: False | True/'bytes' | 'decoded' | 'disk:<dir>'
+        # (see fscd147.load_image and data/cache.py)
+        from countdetr_tpu.data.cache import decoded_cache_from_mode
+
         self._byte_cache = {} if cache_mode in (True, "bytes") else None
-        self._decoded_cache = {} if cache_mode == "decoded" else None
+        self._decoded_cache = decoded_cache_from_mode(cache_mode)
+        # see FSCD147Base.host_normalize (data/fscd147.py)
+        self.host_normalize: bool = True
         self.data_path = data_path
         self.split = split
         self.scale_factor = scale_factor
@@ -65,6 +70,7 @@ class _LvisBase:
             os.path.join(self.img_dir, name), self.scale_factor,
             byte_cache=self._byte_cache,
             decoded_cache=self._decoded_cache,
+            normalize=self.host_normalize,
         )
 
     def image_size(self, idx):

@@ -12,8 +12,12 @@ cache (torchvision_datasets/coco.py:54-73). The TPU-native answer:
     before spawning so a worker never imports jax (each jax init costs
     40-60 s and a TPU tunnel handle);
   * the Batcher's global schedule (batching.py) knows every index a batch
-    needs ahead of time, so an ordered imap streams decoded samples with
-    zero speculation and bounded memory (one chunk per worker in flight);
+    needs ahead of time, so a windowed ordered stream decodes samples with
+    zero speculation and BOUNDED memory: at most `window` results are ever
+    submitted-but-unconsumed (Pool.imap would not give this — its feeder
+    thread drains the whole index list and buffers every result the
+    consumer hasn't read yet, i.e. up to the full epoch of decoded
+    images when the device is the bottleneck);
   * the pool is persistent across epochs (spawn startup is paid once).
 
 `Batcher(..., num_workers=N)` routes loading through this module; N == 0
@@ -89,11 +93,29 @@ class SampleLoader:
                 main_mod.__file__ = main_file
             os.environ.update(saved)
 
-    def iter_samples(self, indices: List[int], chunksize: Optional[int] = None):
-        """Ordered stream of dataset[i] for i in indices."""
-        if chunksize is None:
-            chunksize = max(1, min(8, len(indices) // (4 * self.num_workers) or 1))
-        return self._pool.imap(_load_one, indices, chunksize=chunksize)
+    def iter_samples(self, indices: List[int], window: Optional[int] = None):
+        """Ordered stream of dataset[i] for i in indices.
+
+        At most `window` tasks are in flight (submitted but not yet yielded)
+        at any moment, so host memory holds O(window) decoded samples even
+        when the consumer is slower than the workers. Default window keeps
+        every worker busy with headroom (4x workers, min 8)."""
+        if window is None:
+            window = max(8, 4 * self.num_workers)
+        from collections import deque
+
+        pending = deque()
+        it = iter(indices)
+        for i in it:
+            pending.append(self._pool.apply_async(_load_one, (i,)))
+            if len(pending) >= window:
+                break
+        for i in it:
+            out = pending.popleft().get()
+            pending.append(self._pool.apply_async(_load_one, (i,)))
+            yield out
+        while pending:
+            yield pending.popleft().get()
 
     def close(self):
         if self._pool is not None:

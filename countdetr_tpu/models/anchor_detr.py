@@ -29,6 +29,24 @@ from countdetr_tpu.models.transformer import Transformer
 from countdetr_tpu.ops.posemb import grid_reference_points
 
 
+# ImageNet normalization constants — must match data/fscd147.py's
+# IMAGENET_MEAN/STD (tests/test_model.py pins the equality). Defined here
+# too so the model layer doesn't import the data layer (PIL etc.).
+_IMNET_MEAN = (0.485, 0.456, 0.406)
+_IMNET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_uint8(images: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet-normalize raw uint8 images on device, in float32 — the same
+    math the host path runs in numpy (data/fscd147.py::load_image). Raw
+    uint8 through the input pipe means 4x less host->device traffic and no
+    per-image host float math; the few fused VPU ops here are free next to
+    the backbone convs."""
+    mean = jnp.asarray(_IMNET_MEAN, jnp.float32)
+    std = jnp.asarray(_IMNET_STD, jnp.float32)
+    return (images.astype(jnp.float32) / 255.0 - mean) / std
+
+
 def _xavier_conv(key, shape, dtype=jnp.float32):
     """torch xavier_uniform_ for a conv weight, gain=1 (reference
     anchor_detr.py:76-78). flax kernels are (kh, kw, in, out)."""
@@ -124,7 +142,7 @@ class CountingDetr(nn.Module):
     @nn.compact
     def __call__(
         self,
-        images: jnp.ndarray,  # (B, H, W, 3) normalized
+        images: jnp.ndarray,  # (B, H, W, 3) normalized f32, or raw uint8
         pad_mask: jnp.ndarray,  # (B, H, W) bool, True on padding
         points: Optional[jnp.ndarray] = None,  # (B, P, 2) for defined/sampled prior
         points_valid: Optional[jnp.ndarray] = None,  # (B, P)
@@ -133,6 +151,13 @@ class CountingDetr(nn.Module):
     ):
         cfg = self.cfg
 
+        if images.dtype == jnp.uint8:
+            images = normalize_uint8(images)
+            # the host float pipe pads AFTER normalizing, so pad pixels are
+            # exactly 0.0 there; raw-uint8 pads are 0 -> normalize gives
+            # -mean/std, which conv1's 7x7 window would leak into border
+            # features and break bucket-size invariance. Re-zero the pads.
+            images = jnp.where(pad_mask[..., None], 0.0, images)
         dt = jnp.dtype(cfg.compute_dtype)
         multi_level = cfg.num_feature_levels > 1
         feats = ResNetBackbone(

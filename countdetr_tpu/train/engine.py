@@ -345,7 +345,10 @@ def stage1_test(
                 pm = np.asarray(batch["pad_mask"][i])
                 rh = int((~pm).any(axis=1).sum())
                 rw = int((~pm).any(axis=0).sum())
-                img = (img[:rh, :rw] * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+                if img.dtype == np.uint8:  # raw pipe (device-side normalize)
+                    img = img[:rh, :rw].astype(np.float32)
+                else:
+                    img = (img[:rh, :rw] * IMAGENET_STD + IMAGENET_MEAN) * 255.0
                 cxcywh = np.stack(
                     [(bxs[:, 0] + bxs[:, 2]) / 2 * rw / w,
                      (bxs[:, 1] + bxs[:, 3]) / 2 * rh / h,

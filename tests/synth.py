@@ -94,3 +94,24 @@ def make_fscd147(root: str, n_train=6, n_val=3, n_test=3, size=(96, 128), seed=0
                 f,
             )
     return root
+
+
+class TouchCountingDataset:
+    """dataset[i] records the access by touching <root>/<i> before returning.
+
+    Lets tests observe, from the parent process, how far ahead the
+    process-parallel loader has actually run — the bounded-window contract
+    (data/loader.py::SampleLoader.iter_samples) is about loads STARTED, and
+    worker-side file touches are the only cross-process signal that needs no
+    shared synchronization primitives."""
+
+    def __init__(self, root: str, n: int = 64):
+        self.root = root
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int):
+        open(os.path.join(self.root, str(int(i))), "w").close()
+        return int(i)

@@ -101,6 +101,29 @@ def test_padding_invariance(stage1_setup):
     )
 
 
+def test_padding_invariance_uint8(stage1_setup):
+    """Bucket-size invariance must hold on the raw-uint8 pipe too: uint8 pad
+    pixels are 0, which device-side normalize maps to -mean/std, so the model
+    re-zeros pads after normalizing (anchor_detr.py) — otherwise conv1's 7x7
+    window leaks pad values into border features."""
+    model, params, _, mask, points, pvalid = stage1_setup
+    B, H, W = mask.shape
+    rng = np.random.default_rng(7)
+    raw = jnp.array(rng.integers(0, 256, size=(B, H, W, 3), dtype=np.uint8))
+
+    out = model.apply(params, raw, mask, points, pvalid)
+    raw2 = jnp.pad(raw, ((0, 0), (0, 0), (0, 32), (0, 0)))
+    mask2 = jnp.pad(mask, ((0, 0), (0, 0), (0, 32)), constant_values=True)
+    out2 = model.apply(params, raw2, mask2, points, pvalid)
+
+    np.testing.assert_allclose(
+        np.asarray(out["pred_wh"]), np.asarray(out2["pred_wh"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), np.asarray(out2["pred_logits"]), atol=2e-5
+    )
+
+
 def test_learned_prior_with_patterns(rng):
     """'learned' spatial prior + num_query_pattern 3 (the reference's
     AnchorDETR defaults, main.py:72-76): L = positions x patterns queries,
@@ -137,3 +160,32 @@ def test_grid_prior_stage1(rng):
     params = model.init(jax.random.PRNGKey(0), images, mask)
     out = model.apply(params, images, mask)
     assert out["pred_logits"].shape == (B, 9, 2)  # 3x3 grid
+
+
+def test_uint8_input_matches_host_normalized(stage1_setup):
+    """Raw-uint8 images (device-side ImageNet normalize,
+    models/anchor_detr.py::normalize_uint8) must produce the same outputs
+    as the host-normalized float32 pipeline — same math, different place."""
+    from countdetr_tpu.data.fscd147 import (
+        IMAGENET_MEAN, IMAGENET_STD, load_image,
+    )
+    from countdetr_tpu.models.anchor_detr import _IMNET_MEAN, _IMNET_STD
+
+    # the model-layer constants must never drift from the data layer's
+    np.testing.assert_array_equal(IMAGENET_MEAN, np.float32(_IMNET_MEAN))
+    np.testing.assert_array_equal(IMAGENET_STD, np.float32(_IMNET_STD))
+
+    model, params, _, mask, points, pvalid = stage1_setup
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(2, 64, 96, 3), dtype=np.uint8)
+    host = ((raw.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+    # the host pipe normalizes THEN pads (pad_to_bucket) — pad pixels are
+    # exactly 0.0; the uint8 device path re-zeros pads to match
+    host = np.where(np.asarray(mask)[..., None], 0.0, host)
+    out_u8 = model.apply(params, jnp.array(raw), mask, points, pvalid)
+    out_f32 = model.apply(params, jnp.array(host), mask, points, pvalid)
+    for k in out_f32:
+        np.testing.assert_allclose(
+            np.asarray(out_u8[k]), np.asarray(out_f32[k]),
+            rtol=2e-5, atol=2e-5,
+        )
