@@ -36,6 +36,9 @@ def get_args_parser():
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--weight_decay", default=1e-4, type=float)
     p.add_argument("--epochs", default=30, type=int)
+    p.add_argument("--max_steps", default=0, type=int,
+                   help="stop training after N total steps (0 = unlimited);"
+                   " smoke-run cap used by scripts/replay_fscd147.sh SMOKE=1")
     p.add_argument("--lr_drop", default=20, type=int)
     p.add_argument("--lr_drop_epochs", default=None, type=int, nargs="+",
                    help="explicit drop epochs (MultiStepLR; overrides the "
@@ -251,6 +254,7 @@ def config_from_args(args) -> Config:
         lr_backbone=args.lr_backbone,
         weight_decay=args.weight_decay,
         epochs=args.epochs,
+        max_steps=args.max_steps,
         lr_drop=args.lr_drop,
         lr_drop_epochs=(
             tuple(args.lr_drop_epochs) if args.lr_drop_epochs else None
@@ -444,7 +448,10 @@ def main(args):
         path = args.checkpoint_path or args.resume
         if path.endswith(".pth"):
             sd = ckpt.load_torch_checkpoint(path)
-            params = ckpt.torch_state_dict_to_params(sd, params)
+            # strict: a mapping bug that leaves reference keys unconsumed
+            # must fail loudly HERE (on the real pretrained checkpoint),
+            # not silently run with init values in those layers
+            params = ckpt.torch_state_dict_to_params(sd, params, strict=True)
             print(f"imported torch checkpoint {path}")
         elif not (training_mode and args.resume and not args.checkpoint_path):
             step = ckpt.latest_step(path)
@@ -547,7 +554,10 @@ def main(args):
             process_count=jax.process_count(),
         )
         eval_step = make_eval_step(model, cfg, mesh=mesh)
-        vstats = gather_metrics(engine.evaluate(eval_step, params, vb, mesh))
+        vstats = engine.evaluate(eval_step, params, vb, mesh)
+        vstats = gather_metrics(
+            vstats, weight=vstats.pop("real_samples", 1.0)
+        )
         if is_main_process():
             print(json.dumps(vstats, indent=2))
             with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
@@ -654,7 +664,11 @@ def main(args):
         )
 
     profiling = False
+    steps_done = 0
     for epoch in range(start_epoch, cfg.train.epochs):
+        if cfg.train.max_steps and steps_done >= cfg.train.max_steps:
+            print(f"max_steps {cfg.train.max_steps} reached; stopping")
+            break
         if args.profile and epoch == start_epoch and is_main_process():
             jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
             profiling = True
@@ -662,7 +676,12 @@ def main(args):
         state, stats = engine.train_one_epoch(
             train_step, state, batcher, mesh, epoch, cfg.train.log_every,
             prefetch_depth=max(args.num_workers, 1),
+            max_steps=(
+                cfg.train.max_steps - steps_done
+                if cfg.train.max_steps else None
+            ),
         )
+        steps_done += int(stats.pop("steps", 0))
         stats["epoch_time_s"] = time.time() - t0
         if profiling:
             jax.profiler.stop_trace()
@@ -670,13 +689,17 @@ def main(args):
             print(f"profile trace: {os.path.join(args.output_dir, 'profile')}")
         if vb is not None:
             vstats = engine.evaluate(eval_step, state.params, vb, mesh)
+            vstats.pop("real_samples", None)
             stats.update({f"val_{k}": v for k, v in vstats.items()})
-        # cross-host metric averaging (reference reduce_dict /
+        # cross-host metric averaging, weighted by each host's real
+        # (non-padding) sample count (reference reduce_dict /
         # synchronize_between_processes); identity when single-process
+        host_weight = float(stats.pop("real_samples", 1.0))
         stats = {
             **gather_metrics(
                 {k: v for k, v in stats.items()
-                 if isinstance(v, (int, float, np.floating))}
+                 if isinstance(v, (int, float, np.floating))},
+                weight=host_weight,
             ),
             **{k: v for k, v in stats.items()
                if not isinstance(v, (int, float, np.floating))},

@@ -78,7 +78,12 @@ def evaluate_predictions(
             [_to_xywh(a["bbox"], gt.box_format) for a in gt_anns],
             np.float64,
         ).reshape(-1, 4)
-        ev.add_image(dets, scores, gts)
+        # COCOeval crowd-ignore protocol: FSCD GT has no crowds, but any GT
+        # json carrying iscrowd evaluates with the full semantics
+        crowd = np.array(
+            [bool(a.get("iscrowd", 0)) for a in gt_anns], dtype=bool
+        )
+        ev.add_image(dets, scores, gts, gt_iscrowd=crowd)
         if lvis:
             # reference counting_dict: gt = number of GT box annotations
             # (offline_lvis_evaluator.py:222-252)

@@ -124,6 +124,10 @@ class TrainConfig:
     lr_backbone: float = 1e-5
     weight_decay: float = 1e-4
     epochs: int = 30
+    # optional global train-step cap (0 = unlimited) — smoke runs: prove
+    # the real-data pipeline end-to-end in ~50 steps per phase before
+    # committing to the multi-hour schedule
+    max_steps: int = 0
     lr_drop: int = 20  # StepLR: lr *= 0.1 at epoch lr_drop
     # explicit drop epochs (MultiStepLR; overrides lr_drop when set —
     # reference 2nd-stage main.py:39 --lr_drop_epochs)
@@ -156,6 +160,10 @@ class TrainConfig:
     resume: str = ""
     auto_resume: bool = False
     checkpoint_every: int = 1  # epochs
+    # retention (reference main.py:297-311: one rolling checkpoint + keep
+    # every 10th epoch + lr-drop snapshots). keep_last <= 0 disables GC.
+    checkpoint_keep_last: int = 1
+    checkpoint_keep_every: int = 10
     # overlap the Orbax write with the next epoch's compute (the reference
     # blocks its loop on torch.save, main.py:297-311); --sync_checkpoint
     # restores blocking saves

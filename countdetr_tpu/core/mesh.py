@@ -173,9 +173,13 @@ def init_distributed(
     return True
 
 
-def gather_metrics(metrics: dict) -> dict:
-    """Average scalar metrics across hosts (the reference's reduce_dict /
-    MetricLogger.synchronize_between_processes, util/misc.py:133-157,49-60).
+def gather_metrics(metrics: dict, weight: float = 1.0) -> dict:
+    """Weighted-average scalar metrics across hosts (the reference's
+    reduce_dict / MetricLogger.synchronize_between_processes,
+    util/misc.py:133-157,49-60). `weight` is the host's REAL (non-padding)
+    sample count for this window: with the global batch schedule, a host
+    whose slice of the tail batch is mostly padding must not contribute a
+    full-weight mean (its masked losses average over fewer real samples).
     Single-process: identity."""
     if jax.process_count() == 1:
         return {k: float(v) for k, v in metrics.items()}
@@ -184,7 +188,13 @@ def gather_metrics(metrics: dict) -> dict:
     import numpy as np
 
     keys = sorted(metrics.keys())
-    vec = np.array([float(metrics[k]) for k in keys], np.float32)
-    all_vals = multihost_utils.process_allgather(vec)
-    mean = np.asarray(all_vals).reshape(jax.process_count(), -1).mean(axis=0)
+    w = np.float32(max(weight, 0.0))
+    vec = np.array(
+        [float(metrics[k]) * w for k in keys] + [w], np.float32
+    )
+    all_vals = np.asarray(multihost_utils.process_allgather(vec)).reshape(
+        jax.process_count(), -1
+    )
+    total_w = max(float(all_vals[:, -1].sum()), 1e-9)
+    mean = all_vals[:, :-1].sum(axis=0) / total_w
     return dict(zip(keys, mean.tolist()))

@@ -10,9 +10,12 @@ there is a single category.
 Verified two ways: hand-checkable cases (tests/test_eval.py) and randomized
 parity against a pycocotools-faithful oracle reimplementation of
 COCOeval's evaluateImg/accumulate (tests/test_coco_eval.py +
-tests/cocoeval_oracle.py), incl. area-range ignore ordering and maxDets
-truncation. Crowd (iscrowd) semantics are not implemented — FSCD GT has no
-crowd annotations.
+tests/cocoeval_oracle.py), incl. area-range ignore ordering, maxDets
+truncation, and crowd (iscrowd) semantics: a crowd gt is always ignored,
+its IoU denominator is the DET area (maskUtils.iou's iscrowd mode), and it
+is never consumed — multiple dets may match it (cocoeval.evaluateImg's
+`if gtm[tind,gind]>0 and not iscrowd[gind]: continue`). FSCD GT has no
+crowd annotations, but the protocol surface matches COCOeval's.
 """
 
 from __future__ import annotations
@@ -31,8 +34,13 @@ AREA_RANGES = {
 }
 
 
-def box_iou_xywh(d: np.ndarray, g: np.ndarray) -> np.ndarray:
-    """IoU between (N,4) and (M,4) xywh boxes."""
+def box_iou_xywh(
+    d: np.ndarray, g: np.ndarray, crowd: np.ndarray = None
+) -> np.ndarray:
+    """IoU between (N,4) and (M,4) xywh boxes. For crowd gts the
+    denominator is the DET area alone (pycocotools maskUtils.iou iscrowd
+    mode: a det fully inside a crowd region scores 1 regardless of the
+    crowd's extent)."""
     if len(d) == 0 or len(g) == 0:
         return np.zeros((len(d), len(g)))
     dx = np.stack([d[:, 0], d[:, 1], d[:, 0] + d[:, 2], d[:, 1] + d[:, 3]], 1)
@@ -44,10 +52,16 @@ def box_iou_xywh(d: np.ndarray, g: np.ndarray) -> np.ndarray:
     ad = d[:, 2] * d[:, 3]
     ag = g[:, 2] * g[:, 3]
     union = ad[:, None] + ag[None, :] - inter
+    if crowd is not None and np.any(crowd):
+        union = np.where(
+            np.asarray(crowd, bool)[None, :],
+            np.broadcast_to(ad[:, None], union.shape), union,
+        )
     return inter / np.maximum(union, 1e-12)
 
 
-def _match_image(dets, gts, gt_ignore, iou, iou_thrs, max_det):
+def _match_image(dets, gts, gt_ignore, iou, iou_thrs, max_det,
+                 gt_crowd=None):
     """Greedy COCO matching for one image.
 
     dets: (N,) scores sorted desc assumed; iou: (N, M).
@@ -64,6 +78,9 @@ def _match_image(dets, gts, gt_ignore, iou, iou_thrs, max_det):
     outputs, this numpy loop is the oracle and fallback.
     """
     N = min(len(dets), max_det)
+    M = iou.shape[1]
+    if gt_crowd is None:
+        gt_crowd = np.zeros(M, dtype=bool)
 
     from countdetr_tpu.eval import native_match
 
@@ -71,19 +88,26 @@ def _match_image(dets, gts, gt_ignore, iou, iou_thrs, max_det):
         np.asarray(iou[:N], np.float64),
         np.asarray(gt_ignore, bool),
         np.asarray(iou_thrs, np.float64),
+        np.asarray(gt_crowd, bool),
     )
     if native is not None:
         return native
-    return _match_image_py(dets, gts, gt_ignore, iou, iou_thrs, max_det)
+    return _match_image_py(
+        dets, gts, gt_ignore, iou, iou_thrs, max_det, gt_crowd
+    )
 
 
-def _match_image_py(dets, gts, gt_ignore, iou, iou_thrs, max_det):
+def _match_image_py(dets, gts, gt_ignore, iou, iou_thrs, max_det,
+                    gt_crowd=None):
     """Pure-numpy greedy matching — oracle and no-toolchain fallback."""
     N = min(len(dets), max_det)
     M = iou.shape[1]
     T = len(iou_thrs)
+    if gt_crowd is None:
+        gt_crowd = np.zeros(M, dtype=bool)
     g_order = np.argsort(gt_ignore, kind="mergesort")  # real gts first
     gt_ignore = np.asarray(gt_ignore)[g_order]
+    gt_crowd = np.asarray(gt_crowd)[g_order]
     iou = iou[:, g_order]
     det_m = -np.ones((T, N), dtype=np.int64)
     det_ig = np.zeros((T, N), dtype=bool)
@@ -92,7 +116,9 @@ def _match_image_py(dets, gts, gt_ignore, iou, iou_thrs, max_det):
         for di in range(N):
             best, best_iou = -1, min(t, 1 - 1e-10)
             for gi in range(M):
-                if gt_taken[gi]:
+                # a crowd gt is never consumed: many dets may match it
+                # (cocoeval.evaluateImg: `if gtm>0 and not iscrowd: continue`)
+                if gt_taken[gi] and not gt_crowd[gi]:
                     continue
                 # gts are sorted ignore-last: once matched to a real gt,
                 # never switch to an ignored one
@@ -119,16 +145,21 @@ class CocoEvaluator:
         self.max_dets = sorted(max_dets)
         self.images: List[Dict] = []
 
-    def add_image(self, dets_xywh, scores, gts_xywh):
+    def add_image(self, dets_xywh, scores, gts_xywh, gt_iscrowd=None):
         dets_xywh = np.asarray(dets_xywh, dtype=np.float64).reshape(-1, 4)
         scores = np.asarray(scores, dtype=np.float64).reshape(-1)
         gts_xywh = np.asarray(gts_xywh, dtype=np.float64).reshape(-1, 4)
         order = np.argsort(-scores, kind="mergesort")
+        crowd = (
+            np.zeros(len(gts_xywh), dtype=bool) if gt_iscrowd is None
+            else np.asarray(gt_iscrowd, dtype=bool).reshape(-1)
+        )
         self.images.append(
             {
                 "dets": dets_xywh[order],
                 "scores": scores[order],
                 "gts": gts_xywh,
+                "gt_crowd": crowd,
                 "gt_areas": gts_xywh[:, 2] * gts_xywh[:, 3],
                 "det_areas": dets_xywh[order][:, 2] * dets_xywh[order][:, 3],
             }
@@ -141,13 +172,18 @@ class CocoEvaluator:
         n_gt = 0
         for im in self.images:
             lo, hi = area_rng
-            gt_ignore = (im["gt_areas"] < lo) | (im["gt_areas"] > hi)
+            # a crowd gt is unconditionally ignored (pycocotools _prepare:
+            # gt['ignore'] = gt['ignore'] or gt['iscrowd'])
+            gt_ignore = (
+                (im["gt_areas"] < lo) | (im["gt_areas"] > hi) | im["gt_crowd"]
+            )
             n_gt += int((~gt_ignore).sum())
             dets = im["dets"][:max_det]
             scores = im["scores"][:max_det]
-            iou = box_iou_xywh(dets, im["gts"])
+            iou = box_iou_xywh(dets, im["gts"], im["gt_crowd"])
             det_m, det_ig = _match_image(
-                scores, im["gts"], gt_ignore, iou, IOU_THRS, max_det
+                scores, im["gts"], gt_ignore, iou, IOU_THRS, max_det,
+                gt_crowd=im["gt_crowd"],
             )
             # unmatched dets outside the area range are ignored too
             out_of_range = (im["det_areas"][: len(scores)] < lo) | (

@@ -38,12 +38,25 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)
-    lib.coco_match_image.restype = None
-    lib.coco_match_image.argtypes = [
+    if not hasattr(lib, "coco_match_image_v2"):
+        # stale pre-crowd library on disk: rebuild once, else fall back
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
+                check=True, capture_output=True, timeout=120,
+            )
+            lib = ctypes.CDLL(so)
+        except Exception:
+            return None
+        if not hasattr(lib, "coco_match_image_v2"):
+            return None
+    lib.coco_match_image_v2.restype = None
+    lib.coco_match_image_v2.argtypes = [
         ctypes.POINTER(ctypes.c_double),  # iou (n_det, n_gt)
         ctypes.c_int,  # n_det
         ctypes.c_int,  # n_gt
         ctypes.POINTER(ctypes.c_uint8),  # gt_ignore
+        ctypes.POINTER(ctypes.c_uint8),  # gt_crowd
         ctypes.POINTER(ctypes.c_double),  # iou_thrs
         ctypes.c_int,  # n_thrs
         ctypes.POINTER(ctypes.c_int64),  # out matched
@@ -58,10 +71,12 @@ def available() -> bool:
 
 
 def match_image(
-    iou: np.ndarray, gt_ignore: np.ndarray, iou_thrs: np.ndarray
+    iou: np.ndarray, gt_ignore: np.ndarray, iou_thrs: np.ndarray,
+    gt_crowd: np.ndarray = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Native greedy matching for one image. iou: (N, M); gt_ignore: (M,)
-    bool; iou_thrs: (T,). Returns (det_matched (T, N) int64 gt-or-neg-1,
+    bool; iou_thrs: (T,); gt_crowd: (M,) bool iscrowd flags (crowd gts are
+    re-matchable). Returns (det_matched (T, N) int64 gt-or-neg-1,
     det_ignore (T, N) bool) or None when the library is unavailable."""
     lib = _load()
     if lib is None:
@@ -70,13 +85,17 @@ def match_image(
     T = len(iou_thrs)
     iou_c = np.ascontiguousarray(iou, dtype=np.float64)
     gig_c = np.ascontiguousarray(gt_ignore, dtype=np.uint8)
+    if gt_crowd is None:
+        gt_crowd = np.zeros(M, dtype=np.uint8)
+    gcr_c = np.ascontiguousarray(gt_crowd, dtype=np.uint8)
     thr_c = np.ascontiguousarray(iou_thrs, dtype=np.float64)
     out_m = np.empty((T, N), dtype=np.int64)
     out_ig = np.empty((T, N), dtype=np.uint8)
-    lib.coco_match_image(
+    lib.coco_match_image_v2(
         iou_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         N, M,
         gig_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        gcr_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         thr_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         T,
         out_m.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

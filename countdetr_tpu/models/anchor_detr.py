@@ -162,9 +162,10 @@ class CountingDetr(nn.Module):
         multi_level = cfg.num_feature_levels > 1
         feats = ResNetBackbone(
             dilation=cfg.dilation,
-            # the mask head needs the stride-8 C3 skip (reference DETRsegm
+            # the mask head needs the C4/C3/C2 fpn skips (reference DETRsegm
             # consumes the backbone's intermediate features)
             return_interm=multi_level or cfg.masks,
+            return_c2=cfg.masks,
             dtype=None if dt == jnp.float32 else dt,
             name="backbone",
         )(images, pad_mask)
@@ -243,8 +244,10 @@ class CountingDetr(nn.Module):
 
         if cfg.masks:
             # DETRsegm-equivalent mask branch (reference 1st-stage
-            # segmentation.py:19-60): per-query attention maps over the
-            # encoder memory + FPN conv head with the stride-8 C3 skip.
+            # segmentation.py:19-72): per-query attention maps over the
+            # encoder memory + FPN conv head with C4/C3/C2 skips (the
+            # reference wires fpns = [features[2], features[1], features[0]]
+            # with fpn_dims [1024, 512, 256], segmentation.py:41,63-66).
             from countdetr_tpu.models.segmentation import (
                 MaskHeadSmallConv, MHAttentionMap,
             )
@@ -263,9 +266,10 @@ class CountingDetr(nn.Module):
             x_in = jnp.concatenate([mem_q, amaps_t], axis=-1).reshape(
                 Bq * Lq, h, w, cfg.hidden_dim + cfg.nheads
             )
-            c3 = feats[0].astype(jnp.float32)  # stride-8 skip
+            # feats = (C2, C3, C4, C5); skips coarse-to-fine: C4, C3, C2
+            fpns = tuple(f.astype(jnp.float32) for f in feats[-2::-1])
             m = MaskHeadSmallConv(cfg.hidden_dim, name="mask_head")(
-                x_in, (c3,)
-            )  # (B*L, 2h, 2w)
+                x_in, fpns
+            )  # (B*L, H/4, W/4)
             out["pred_masks"] = m.reshape(Bq, Lq, *m.shape[1:])
         return out

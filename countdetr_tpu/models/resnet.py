@@ -118,6 +118,7 @@ class ResNetBackbone(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     dilation: bool = True  # DC5
     return_interm: bool = False
+    return_c2: bool = False  # also return C2 (mask head's finest fpn skip)
     dtype: object = None  # compute dtype for convs (e.g. jnp.bfloat16)
 
     @nn.compact
@@ -165,6 +166,8 @@ class ResNetBackbone(nn.Module):
             feats.append(x)
 
         if self.return_interm:
+            if self.return_c2:
+                return tuple(feats)  # C2, C3, C4, C5
             return tuple(feats[1:])  # C3, C4, C5
         return (feats[-1],)
 

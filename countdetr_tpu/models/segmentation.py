@@ -47,33 +47,48 @@ class MHAttentionMap(nn.Module):
 
 
 class MaskHeadSmallConv(nn.Module):
-    """FPN-ish conv head upsampling (features + attention maps) to masks
-    (reference MaskHeadSmallConv). fpn_feats: higher-res backbone features
-    ordered fine-to-coarse relative to the input, e.g. (C4, C3)."""
+    """FPN conv head upsampling (features + attention maps) to masks,
+    structurally identical to the reference MaskHeadSmallConv
+    (segmentation.py:74-146) so its weights import 1:1: channel progression
+    [dim, ctx/2, ctx/4, ctx/8, ctx/16] where dim = input channels
+    (hidden_dim + nheads) and ctx = context_dim; each of the THREE fpn skips
+    is adapted by a 1x1 conv and ADDED to the resized trunk BEFORE the next
+    3x3 conv. fpn_feats ordered coarse-to-fine: (C4, C3, C2)."""
 
-    dim: int
+    context_dim: int
 
     @nn.compact
     def __call__(self, x, fpn_feats: Sequence[jnp.ndarray]):
-        # x: (B*Q, h, w, C0) concat of per-query attention maps + features
-        def conv_gn_relu(y, feats, name):
-            y = nn.Conv(feats, (3, 3), padding="SAME", name=f"{name}_conv")(y)
-            y = nn.GroupNorm(num_groups=8, name=f"{name}_gn")(y)
+        # x: (B*Q, h, w, dim) concat of features + per-query attention maps
+        ctx = self.context_dim
+        dim = x.shape[-1]
+        inter = [dim, ctx // 2, ctx // 4, ctx // 8, ctx // 16]
+
+        def conv_gn_relu(y, feats, i):
+            y = nn.Conv(feats, (3, 3), padding="SAME", name=f"lay{i}")(y)
+            # 8 groups like the reference; adjusted only where the reference
+            # is undefined (torch GroupNorm(8, c) raises unless 8 | c —
+            # happens for context_dim < 128, i.e. test-scale models only)
+            g = max(d for d in range(1, 9) if feats % d == 0)
+            y = nn.GroupNorm(num_groups=g, name=f"gn{i}")(y)
             return nn.relu(y)
 
-        dims = [self.dim, self.dim // 2, self.dim // 4, self.dim // 8]
-        y = conv_gn_relu(x, dims[0], "lay1")
-        y = conv_gn_relu(y, dims[1], "lay2")
+        y = conv_gn_relu(x, inter[0], 1)
+        y = conv_gn_relu(y, inter[1], 2)
         for i, f in enumerate(fpn_feats):
-            # upsample 2x and add an adapted skip
-            B, h, w, _ = y.shape
-            y = jax.image.resize(y, (B, h * 2, w * 2, y.shape[-1]), "nearest")
-            skip = nn.Conv(y.shape[-1], (1, 1), name=f"adapter{i}")(f)
-            # fpn feature comes per-image; tile to per-query batch
+            skip = nn.Conv(inter[i + 1], (1, 1), name=f"adapter{i + 1}")(f)
+            # fpn feature comes per-image; tile to the per-query batch
+            # (reference 'expand', segmentation.py:108-110)
             reps = y.shape[0] // skip.shape[0]
             skip = jnp.repeat(skip, reps, axis=0)
-            y = y + skip[:, : y.shape[1], : y.shape[2]]
-            y = conv_gn_relu(y, dims[min(i + 2, 3)], f"lay{i + 3}")
+            # resize the trunk to the skip's spatial size (with DC5 the
+            # first hop C5->C4 is stride 16->16, i.e. a no-op resize)
+            B = y.shape[0]
+            y = jax.image.resize(
+                y, (B, skip.shape[1], skip.shape[2], y.shape[-1]), "nearest"
+            )
+            y = skip + y
+            y = conv_gn_relu(y, inter[i + 2], i + 3)
         return nn.Conv(1, (3, 3), padding="SAME", name="out_lay")(y)[..., 0]
 
 

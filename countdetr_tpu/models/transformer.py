@@ -332,8 +332,11 @@ class DecoderLayer(nn.Module):
                 key_padding_mask=pad_mask.reshape(src.shape[0], H * W),
             )
         if l > 1:
-            # merge levels (reference transformer.py:398-399)
-            tgt2 = tgt2.reshape(l, B, L, C).transpose(1, 2, 0, 3).reshape(B, L, C * l)
+            # merge levels (reference transformer.py:398-401). The flattened
+            # layout is c-major with LEVEL FASTEST (the reference's
+            # .permute(0,2,3,1).reshape(bz, tgt_len, c*l)) — level_fc weights
+            # import 1:1 only in this order.
+            tgt2 = tgt2.reshape(l, B, L, C).transpose(1, 2, 3, 0).reshape(B, L, C * l)
             tgt2 = TorchLinear(C, name="level_fc")(tgt2)
         tgt2 = nn.Dropout(self.dropout)(tgt2, deterministic=self.deterministic)
         tgt = tgt + tgt2

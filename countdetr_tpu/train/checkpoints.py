@@ -65,6 +65,67 @@ def _write_meta(directory: str, step: int, extra: Optional[Dict], cfg):
         json.dump(meta, f)
     with open(os.path.join(directory, "latest.json"), "w") as f:
         json.dump({"step": int(step)}, f)
+    # retention: GC runs after every publish, policy from the config
+    t = getattr(cfg, "train", None)
+    if t is not None and getattr(t, "checkpoint_keep_last", 0) > 0:
+        gc_checkpoints(
+            directory,
+            keep_last=t.checkpoint_keep_last,
+            keep_every=t.checkpoint_keep_every,
+            lr_drop=t.lr_drop,
+            drop_epochs=t.lr_drop_epochs,
+        )
+
+
+def gc_checkpoints(directory: str, keep_last: int = 1, keep_every: int = 10,
+                   lr_drop: Optional[int] = None, drop_epochs=None):
+    """Bounded-disk retention mirroring the reference's policy: it overwrites
+    one rolling checkpoint.pth every epoch and keeps permanent snapshots at
+    every 10th epoch and at lr-drop epochs (main.py:297-311 — the
+    `(epoch+1) % lr_drop == 0 or (epoch+1) % 10 == 0` condition). We keep:
+    the `keep_last` most recent COMMITTED checkpoints, every checkpoint with
+    (epoch+1) % keep_every == 0, and lr-drop-epoch snapshots. Uncommitted
+    directories (no side-car meta — e.g. an in-flight async write) are never
+    touched. Without this, a 1200-epoch stage-2 schedule at
+    checkpoint_every=1 would leave ~1200 full checkpoints on disk."""
+    import re
+    import shutil
+
+    def committed(s):
+        return os.path.exists(
+            os.path.join(directory, f"checkpoint_{s}.meta.json")
+        )
+
+    steps = sorted(
+        int(m.group(1))
+        for name in os.listdir(directory)
+        if (m := re.fullmatch(r"checkpoint_(\d+)", name))
+        and os.path.isdir(os.path.join(directory, name))
+    )
+    done = [s for s in steps if committed(s)]
+    keep = set(done[-max(keep_last, 1):])
+    latest = latest_step(directory)
+    if latest is not None:
+        keep.add(latest)
+    drops = set(drop_epochs or [])
+    for s in done:
+        # CLI saves use the epoch as the checkpoint id (cli/main.py:687-695)
+        if keep_every and (s + 1) % keep_every == 0:
+            keep.add(s)
+        if lr_drop and (s + 1) % lr_drop == 0:
+            keep.add(s)
+        if (s + 1) in drops:
+            keep.add(s)
+    for s in done:
+        if s in keep:
+            continue
+        shutil.rmtree(
+            os.path.join(directory, f"checkpoint_{s}"), ignore_errors=True
+        )
+        try:
+            os.remove(os.path.join(directory, f"checkpoint_{s}.meta.json"))
+        except OSError:
+            pass
 
 
 def save_checkpoint(
@@ -204,6 +265,15 @@ def torch_state_dict_to_params(
             t = t.detach().cpu().numpy()
         return np.asarray(t, dtype=np.float32)
 
+    # DETRsegm wraps the whole model under 'detr.' (reference
+    # segmentation.py:30-41); strip the prefix so the inner mapping below
+    # applies unchanged, keeping bbox_attention/mask_head at the top level
+    if any(k.startswith("detr.") for k in sd):
+        sd = {
+            (k[len("detr."):] if k.startswith("detr.") else k): v
+            for k, v in sd.items()
+        }
+
     out: Dict = {"params": {}}
     p = out["params"]
     used = set()
@@ -245,19 +315,30 @@ def torch_state_dict_to_params(
         p["backbone"] = bb
 
     # ---- input projections ------------------------------------------------
-    for torch_name, ours in (("input_proj", "input_proj"), ("aggr_input_proj", "aggr_input_proj")):
-        k = f"{torch_name}.0.0.weight"
-        if k in sd:
-            p[ours] = {
-                "conv": {
-                    "kernel": conv(k),
-                    "bias": take(f"{torch_name}.0.0.bias"),
-                },
-                "norm": {
-                    "scale": take(f"{torch_name}.0.1.weight"),
-                    "bias": take(f"{torch_name}.0.1.bias"),
-                },
-            }
+    def proj_block(prefix):
+        return {
+            "conv": {
+                "kernel": conv(f"{prefix}.0.weight"),
+                "bias": take(f"{prefix}.0.bias"),
+            },
+            "norm": {
+                "scale": take(f"{prefix}.1.weight"),
+                "bias": take(f"{prefix}.1.bias"),
+            },
+        }
+
+    multi_level = "input_proj.1.0.weight" in sd
+    if multi_level:
+        # one proj per level (reference anchor_detr.py:49-65); our modules
+        # are input_proj_{lv}
+        lv = 0
+        while f"input_proj.{lv}.0.weight" in sd:
+            p[f"input_proj_{lv}"] = proj_block(f"input_proj.{lv}")
+            lv += 1
+    elif "input_proj.0.0.weight" in sd:
+        p["input_proj"] = proj_block("input_proj.0")
+    if "aggr_input_proj.0.0.weight" in sd:
+        p["aggr_input_proj"] = proj_block("aggr_input_proj.0")
 
     # ---- transformer ------------------------------------------------------
     tr: Dict = {}
@@ -293,6 +374,18 @@ def torch_state_dict_to_params(
         }
         i += 1
     i = 0
+    while f"{tp}encoder_layers_level.{i}.self_attn_level.in_proj_weight" in sd:
+        # cross-level attention layers interleave with spatial ones when
+        # num_feature_levels > 1 (reference transformer.py:46-59)
+        tr[f"encoder_level_{i}"] = {
+            "self_attn_level": attn_block(
+                f"{tp}encoder_layers_level.{i}.self_attn_level."
+            ),
+            "norm1": ln(f"{tp}encoder_layers_level.{i}.norm1."),
+            "ffn": ffn(f"{tp}encoder_layers_level.{i}.ffn."),
+        }
+        i += 1
+    i = 0
     while f"{tp}decoder_layers.{i}.self_attn.in_proj_weight" in sd:
         tr[f"decoder_{i}"] = {
             "self_attn": attn_block(f"{tp}decoder_layers.{i}.self_attn."),
@@ -301,16 +394,24 @@ def torch_state_dict_to_params(
             "norm2": ln(f"{tp}decoder_layers.{i}.norm2."),
             "ffn": ffn(f"{tp}decoder_layers.{i}.ffn."),
         }
+        if f"{tp}decoder_layers.{i}.level_fc.weight" in sd:
+            # per-pixel level merge after cross-attn (transformer.py:343,401)
+            tr[f"decoder_{i}"]["level_fc"] = linear(
+                f"{tp}decoder_layers.{i}.level_fc."
+            )
         i += 1
+    if f"{tp}level_embed.weight" in sd:
+        tr["level_embed"] = take(f"{tp}level_embed.weight")
 
     for torch_name in ("modify_pattern", "pattern"):
         if f"{tp}{torch_name}.weight" in sd:
             tr["pattern"] = take(f"{tp}{torch_name}.weight")
     for ap in ("adapt_pos1d", "adapt_pos2d"):
-        tr[ap] = {
-            "0": linear(f"{tp}{ap}.0."),
-            "2": linear(f"{tp}{ap}.2."),
-        }
+        if f"{tp}{ap}.0.weight" in sd:
+            tr[ap] = {
+                "0": linear(f"{tp}{ap}.0."),
+                "2": linear(f"{tp}{ap}.2."),
+            }
 
     # shared heads: stored 6x, read index 0
     if f"{tp}cls_embed.0.weight" in sd:
@@ -357,10 +458,44 @@ def torch_state_dict_to_params(
 
     p["transformer"] = tr
 
+    # ---- DETRsegm mask branch (reference segmentation.py:30-41,74-160) ----
+    if "bbox_attention.q_linear.weight" in sd:
+        p["bbox_attention"] = {
+            name: {
+                "kernel": take(f"bbox_attention.{name}.weight").T,
+                "bias": take(f"bbox_attention.{name}.bias"),
+            }
+            for name in ("q_linear", "k_linear")
+        }
+    if "mask_head.lay1.weight" in sd:
+        mh: Dict = {}
+        for mod in ("lay1", "lay2", "lay3", "lay4", "lay5", "out_lay",
+                    "adapter1", "adapter2", "adapter3"):
+            mh[mod] = {
+                "kernel": conv(f"mask_head.{mod}.weight"),
+                "bias": take(f"mask_head.{mod}.bias"),
+            }
+        for j in range(1, 6):
+            mh[f"gn{j}"] = {
+                "scale": take(f"mask_head.gn{j}.weight"),
+                "bias": take(f"mask_head.gn{j}.bias"),
+            }
+        p["mask_head"] = mh
+
     if strict:
-        missing = [k for k in sd if k not in used]
+        # the reference itself ignores thop's profiling counters when
+        # loading (main.py:231 filters *total_params/*total_ops)
+        ignorable = ("total_params", "total_ops")
+        missing = [
+            k for k in sd
+            if k not in used and not k.endswith(ignorable)
+        ]
         if missing:
-            raise KeyError(f"unconsumed torch keys: {missing[:10]} (+{len(missing)-10 if len(missing)>10 else 0})")
+            raise KeyError(
+                "unconsumed torch keys (mapping bug or unsupported "
+                f"architecture): {missing[:10]}"
+                f" (+{max(len(missing) - 10, 0)} more)"
+            )
 
     # conform to the template tree: drop imported params the model doesn't
     # have (e.g. the stage-2 torch model keeps an unused plain input_proj

@@ -26,7 +26,7 @@ from countdetr_tpu.utils.logging import MetricLogger
 
 def train_one_epoch(
     train_step, state, batcher, mesh, epoch: int, log_every=100,
-    prefetch_depth: int = 2,
+    prefetch_depth: int = 2, max_steps: Optional[int] = None,
 ):
     logger = MetricLogger(print_every=log_every, prefix=f"Epoch [{epoch}] ")
     # Amortized NaN guard: every step folds isfinite(loss) into the on-device
@@ -43,9 +43,17 @@ def train_one_epoch(
         if int(jax.device_get(st.bad_steps)) > 0:
             raise FloatingPointError(f"non-finite loss at epoch {epoch}")
 
+    n_real = 0
     for batch in prefetch(iter(batcher), depth=prefetch_depth):
         batch.pop("meta", None)
         batch.pop("bucket", None)
+        # host-side real (non-padding) sample count: the cross-host metric
+        # average weights each host by this, so a host whose slice of a
+        # tail batch is mostly padding doesn't contribute a full-weight mean
+        bv = batch.get("batch_valid")
+        n_real += int(np.asarray(bv).sum()) if bv is not None else (
+            len(batch["images"])
+        )
         db = shard_batch(batch, mesh) if mesh is not None else batch
         if not synced_multiproc and jax.process_count() > 1:
             # multi-host: AOT-compile this program on every host, then
@@ -67,22 +75,35 @@ def train_one_epoch(
         if n_steps % check_every == 0:
             _check_bad(state)
         logger.step(metrics)
+        if max_steps is not None and n_steps >= max_steps:
+            # smoke/step-capped runs: abandoning prefetch leaves its daemon
+            # worker parked on a full queue — harmless, reclaimed at exit
+            break
     if n_steps:
         _check_bad(state)
     stats = logger.summary()
     stats["epoch"] = epoch
+    stats["steps"] = n_steps
+    stats["real_samples"] = n_real
     return state, stats
 
 
 def evaluate(eval_step, params, batcher, mesh):
     logger = MetricLogger(print_every=50, prefix="Eval ")
+    n_real = 0
     for batch in prefetch(iter(batcher)):
         batch.pop("meta", None)
         batch.pop("bucket", None)
+        bv = batch.get("batch_valid")
+        n_real += int(np.asarray(bv).sum()) if bv is not None else (
+            len(batch["images"])
+        )
         db = shard_batch(batch, mesh) if mesh is not None else batch
         metrics = eval_step(params, db)
         logger.step(metrics, force=True)
-    return logger.summary()
+    stats = logger.summary()
+    stats["real_samples"] = n_real
+    return stats
 
 
 def generate_pseudo_labels(

@@ -28,11 +28,19 @@ def _label(path) -> str:
     if "backbone" in parts:
         leaf = parts[-1]
         mod = parts[-2] if len(parts) >= 2 else ""
+        # the module directly under 'backbone' tells stem/layer apart:
+        # backbone/conv1 is the frozen stem; backbone/layerN_i/conv1 is a
+        # bottleneck's 1x1 reduce conv, trainable at lr_backbone (reference
+        # backbone.py:66-68 freezes only the stem + layer1)
+        bi = parts.index("backbone")
+        top = parts[bi + 1] if len(parts) > bi + 1 else ""
         if leaf in ("running_mean", "running_var"):
             return "frozen"
         if mod.startswith("bn") or mod == "downsample_bn":
+            # FrozenBatchNorm weight/bias are buffers in the reference
+            # (util/misc.py FrozenBatchNorm2d) — never trained anywhere
             return "frozen"
-        if mod == "conv1" or any(p.startswith("layer1_") for p in parts):
+        if top == "conv1" or top.startswith("layer1_"):
             return "frozen"
         return "backbone"
     return "main"
@@ -60,6 +68,26 @@ def make_schedule(base_lr: float, lr_drop_epoch: int, steps_per_epoch: int,
         return base_lr * jax.numpy.power(0.1, epoch // lr_drop_epoch)
 
     return sched
+
+
+def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ parity: scale by
+    max_norm / (global_norm + 1e-6) when clipping (torch adds 1e-6 to the
+    denominator; optax.clip_by_global_norm does not). The difference is
+    ~1e-6 relative per step — invisible to training but a bit-faithfulness
+    gap for --exact_replay, so we mirror torch exactly."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        scale = jax.numpy.minimum(1.0, max_norm / (g_norm + 1e-6))
+        return jax.tree_util.tree_map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def build_optimizer(
@@ -101,4 +129,6 @@ def build_optimizer(
             lambda p, _: _label(p) == "frozen", params
         ),
     )
-    return optax.chain(zero_frozen, optax.clip_by_global_norm(cfg.clip_max_norm), tx)
+    return optax.chain(
+        zero_frozen, clip_by_global_norm_torch(cfg.clip_max_norm), tx
+    )

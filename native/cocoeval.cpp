@@ -21,21 +21,30 @@
 extern "C" {
 
 // iou: row-major (n_det, n_gt), dets already sorted by score descending.
-// gt_ignore: per-gt ignore flags (area-range) of length n_gt.
+// gt_ignore: per-gt ignore flags (area-range OR iscrowd) of length n_gt.
+// gt_crowd: per-gt iscrowd flags — a crowd gt is never consumed; multiple
+//           dets may match it (pycocotools evaluateImg's
+//           `if gtm[tind,gind]>0 and not iscrowd[gind]: continue`).
 // iou_thrs: n_thrs ascending thresholds.
 // out_m: (n_thrs, n_det) matched ORIGINAL gt index or -1.
 // out_ig: (n_thrs, n_det) 1 if the det matched an ignored gt.
-void coco_match_image(const double* iou, int n_det, int n_gt,
-                      const uint8_t* gt_ignore, const double* iou_thrs,
-                      int n_thrs, int64_t* out_m, uint8_t* out_ig) {
+// (_v2: the crowd-aware signature; the symbol is versioned so a stale
+// libcocoeval.so can never be called with a mismatched ABI.)
+void coco_match_image_v2(const double* iou, int n_det, int n_gt,
+                         const uint8_t* gt_ignore, const uint8_t* gt_crowd,
+                         const double* iou_thrs, int n_thrs, int64_t* out_m,
+                         uint8_t* out_ig) {
   // sort gts ignore-last, stable (pycocotools' gtind mergesort argsort)
   std::vector<int> order(n_gt);
   std::iota(order.begin(), order.end(), 0);
   std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
     return gt_ignore[a] < gt_ignore[b];
   });
-  std::vector<uint8_t> gig(n_gt);
-  for (int g = 0; g < n_gt; ++g) gig[g] = gt_ignore[order[g]];
+  std::vector<uint8_t> gig(n_gt), gcr(n_gt);
+  for (int g = 0; g < n_gt; ++g) {
+    gig[g] = gt_ignore[order[g]];
+    gcr[g] = gt_crowd[order[g]];
+  }
 
   std::vector<uint8_t> taken(n_gt);
   for (int t = 0; t < n_thrs; ++t) {
@@ -46,7 +55,8 @@ void coco_match_image(const double* iou, int n_det, int n_gt,
       double best_iou = thr;
       const double* row = iou + (int64_t)d * n_gt;
       for (int g = 0; g < n_gt; ++g) {
-        if (taken[g]) continue;
+        // crowd gts are re-matchable
+        if (taken[g] && !gcr[g]) continue;
         // sorted ignore-last: matched to a real gt => stop at ignored region
         if (best > -1 && !gig[best] && gig[g]) break;
         const double v = row[order[g]];

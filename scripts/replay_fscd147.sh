@@ -11,6 +11,10 @@
 #   bash scripts/replay_fscd147.sh                      # synthetic dry run
 #   DATA_PATH=/data/FSC147 bash scripts/replay_fscd147.sh   # the real thing
 #   EXACT_REPLAY=1 DATA_PATH=... bash scripts/replay_fscd147.sh
+#   SMOKE=1 DATA_PATH=... bash scripts/replay_fscd147.sh
+#     readiness smoke: ~50 real-layout train steps of EACH stage + the full
+#     pseudo-gen/infer/eval chain at production geometry — minutes of risk
+#     retirement before committing to the multi-hour schedule
 #
 # The dry run proves the command sequence end-to-end on a generated
 # synthetic tree (small epochs); pointing DATA_PATH at a real FSC-147
@@ -37,6 +41,13 @@ else
   SIZE_FLAGS="--buckets 384x384,384x512,384x672 --max_points 700 --max_boxes 700"
   MODEL_FLAGS=""
   Q1="--num_query_position 3"; Q2="--num_query_position 600"
+  if [ "${SMOKE}" = "1" ]; then
+    # production geometry/model, but cap each train phase at ~50 steps; the
+    # pseudo-gen/infer/eval phases always run their full (cheap) pass
+    SIZE_FLAGS="$SIZE_FLAGS --max_steps ${SMOKE_STEPS:-50}"
+    S1_EPOCHS=1; S2_EPOCHS=1
+    echo "== SMOKE mode: ${SMOKE_STEPS:-50} train steps per stage =="
+  fi
   if [ "${EXACT_REPLAY}" = "1" ]; then
     SIZE_FLAGS="$SIZE_FLAGS --exact_replay"
     LR1="--lr 1e-4"; LR2="--lr 1e-4"

@@ -1,4 +1,6 @@
-"""pycocotools-faithful COCOeval oracle (single category, bbox, no crowds).
+"""pycocotools-faithful COCOeval oracle (single category, bbox, incl.
+crowd semantics: crowd gts are always ignored, IoU vs a crowd uses the det
+area as denominator, and a crowd gt is re-matchable).
 
 A straight reimplementation of cocoeval.py's evaluateImg/accumulate/summarize
 control flow (per-image loops, gt ignore-last argsort, greedy threshold
@@ -23,7 +25,7 @@ AREA_RANGES = [
 ]
 
 
-def _iou_xywh(d, g):
+def _iou_xywh(d, g, crowd=None):
     if len(d) == 0 or len(g) == 0:
         return np.zeros((len(d), len(g)))
     out = np.zeros((len(d), len(g)))
@@ -35,27 +37,36 @@ def _iou_xywh(d, g):
             y2 = min(db[1] + db[3], gb[1] + gb[3])
             iw, ih = max(0.0, x2 - x1), max(0.0, y2 - y1)
             inter = iw * ih
-            union = db[2] * db[3] + gb[2] * gb[3] - inter
+            if crowd is not None and crowd[j]:
+                # maskUtils.iou iscrowd mode: denominator is the det area
+                union = db[2] * db[3]
+            else:
+                union = db[2] * db[3] + gb[2] * gb[3] - inter
             out[i, j] = inter / union if union > 0 else 0.0
     return out
 
 
-def evaluate_img(dts, scores, gts, area_rng, max_det):
+def evaluate_img(dts, scores, gts, area_rng, max_det, iscrowd=None):
     """cocoeval.COCOeval.evaluateImg for one image, one category.
 
     dts (N,4) xywh, scores (N,), gts (M,4) xywh. Returns dict with dtMatches,
     dtIgnore, gtIgnore, dtScores (all in the sorted-by-score det order).
     """
     gt_areas = gts[:, 2] * gts[:, 3] if len(gts) else np.zeros(0)
-    gt_ig = (gt_areas < area_rng[0]) | (gt_areas > area_rng[1])
+    if iscrowd is None:
+        iscrowd = np.zeros(len(gts), dtype=bool)
+    iscrowd = np.asarray(iscrowd, dtype=bool)
+    # _prepare: gt['ignore'] = gt['ignore'] or gt['iscrowd']
+    gt_ig = (gt_areas < area_rng[0]) | (gt_areas > area_rng[1]) | iscrowd
     gtind = np.argsort(gt_ig, kind="mergesort")  # ignore-last
     gts = gts[gtind]
     gt_ig = gt_ig[gtind]
+    iscrowd = iscrowd[gtind]
     dtind = np.argsort(-scores, kind="mergesort")[:max_det]
     dts = dts[dtind]
     scores = scores[dtind]
 
-    ious = _iou_xywh(dts, gts)
+    ious = _iou_xywh(dts, gts, iscrowd)
     T, D, G = len(IOU_THRS), len(dts), len(gts)
     gtm = -np.ones((T, G))
     dtm = -np.ones((T, D))
@@ -65,7 +76,8 @@ def evaluate_img(dts, scores, gts, area_rng, max_det):
             iou = min(t, 1 - 1e-10)
             m = -1
             for gind in range(G):
-                if gtm[tind, gind] > -1:
+                # crowd gts stay matchable (cocoeval.evaluateImg)
+                if gtm[tind, gind] > -1 and not iscrowd[gind]:
                     continue
                 if m > -1 and not gt_ig[m] and gt_ig[gind]:
                     break
@@ -132,18 +144,19 @@ def accumulate(img_evals):
 
 
 def summarize(images, max_dets=(900, 1000, 1100)):
-    """images: list of (dets_xywh, scores, gts_xywh). Returns the same keys
-    as CocoEvaluator.summarize()."""
+    """images: list of (dets_xywh, scores, gts_xywh[, iscrowd]). Returns the
+    same keys as CocoEvaluator.summarize()."""
     max_dets = sorted(max_dets)
     md = max_dets[-1]
 
     def cell(area_key, m):
         rng = dict(AREA_RANGES)[area_key]
         evs = [
-            evaluate_img(np.asarray(d, np.float64).reshape(-1, 4),
-                         np.asarray(s, np.float64).reshape(-1),
-                         np.asarray(g, np.float64).reshape(-1, 4), rng, m)
-            for d, s, g in images
+            evaluate_img(np.asarray(im[0], np.float64).reshape(-1, 4),
+                         np.asarray(im[1], np.float64).reshape(-1),
+                         np.asarray(im[2], np.float64).reshape(-1, 4), rng, m,
+                         iscrowd=im[3] if len(im) > 3 else None)
+            for im in images
         ]
         return accumulate(evs)
 

@@ -8,7 +8,12 @@ import numpy as np
 from PIL import Image
 
 
-def make_fscd_lvis(root: str, n_per_split=4, size=(96, 128), seed=0):
+def make_fscd_lvis(root: str, n_per_split=4, size=(96, 128), seed=0,
+                   fixed_obj_size=None):
+    """fixed_obj_size=(ow, oh) uses ONE object size for every image — the
+    LVIS convergence proof uses this so size generalization to unseen test
+    images is well-posed for a tiny model (same rationale as
+    synth.make_fscd147)."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "images", "all_images"), exist_ok=True)
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
@@ -17,12 +22,18 @@ def make_fscd_lvis(root: str, n_per_split=4, size=(96, 128), seed=0):
     next_id, ann_id = 1, 1
     for split in ("train", "val", "test"):
         images, annotations, count_annos = [], [], []
-        for _ in range(n_per_split):
+        n_split = n_per_split[split] if isinstance(
+            n_per_split, dict
+        ) else n_per_split
+        for _ in range(n_split):
             name = f"lvis_{next_id}.jpg"
             img = np.zeros((H, W, 3), dtype=np.uint8) + 20
             n_obj = int(rng.integers(3, 7))
             boxes = []
-            ow, oh = int(rng.integers(10, 16)), int(rng.integers(8, 14))
+            if fixed_obj_size is not None:
+                ow, oh = fixed_obj_size
+            else:
+                ow, oh = int(rng.integers(10, 16)), int(rng.integers(8, 14))
             for _ in range(n_obj):
                 cx = int(rng.integers(ow, W - ow))
                 cy = int(rng.integers(oh, H - oh))

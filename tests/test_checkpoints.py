@@ -235,3 +235,89 @@ def test_resume_matches_uninterrupted_run(tmp_path, rng):
         state2, m = step_fn2(state2, b)
         resumed_losses.append(float(m["loss"]))
     np.testing.assert_allclose(resumed_losses, ref_losses[2:], rtol=0, atol=0)
+
+
+def test_retention_policy(tmp_path, rng):
+    """A 25-'epoch' run with the reference's retention policy (keep latest +
+    every 10 epochs + lr-drop snapshots, main.py:297-311) leaves exactly the
+    configured set on disk, with bounded total count."""
+    import os
+
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(
+        model=cfg.model.replace(
+            enc_layers=1, dec_layers=1, hidden_dim=32, nheads=4,
+            dim_feedforward=64,
+        ),
+        train=cfg.train.replace(
+            lr_drop=20, checkpoint_keep_last=1, checkpoint_keep_every=10,
+        ),
+    )
+    model = CountingDetr(cfg.model)
+    B, H, W, P = 1, 32, 32, 2
+    images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    pad = jnp.zeros((B, H, W), dtype=bool)
+    pts = jnp.array(rng.uniform(0.2, 0.8, (B, P, 2)).astype(np.float32))
+    pv = jnp.ones((B, P), dtype=bool)
+    params = model.init(jax.random.PRNGKey(0), images, pad, pts, pv)
+    tx = build_optimizer(cfg.train, params, 10)
+    state = create_state(params, tx)
+
+    for epoch in range(25):
+        ckpt.save_checkpoint(str(tmp_path), epoch, state, {"epoch": epoch},
+                             cfg=cfg)
+
+    kept = sorted(
+        int(n.split("_")[1]) for n in os.listdir(tmp_path)
+        if n.startswith("checkpoint_") and not n.endswith(".json")
+    )
+    # epochs 9, 19 ((e+1)%10==0), 19 again ((e+1)%lr_drop==0), latest 24
+    assert kept == [9, 19, 24], kept
+    assert ckpt.latest_step(str(tmp_path)) == 24
+    # the survivors remain restorable
+    st2 = create_state(params, tx)
+    rparams, _, meta = ckpt.restore_checkpoint(str(tmp_path), 19, st2)
+    assert meta["epoch"] == 19
+
+
+def test_retention_never_touches_uncommitted(tmp_path):
+    """An in-flight async write (directory present, no meta yet) must
+    survive GC."""
+    import os
+
+    os.makedirs(tmp_path / "checkpoint_3")
+    os.makedirs(tmp_path / "checkpoint_4")  # uncommitted: no meta
+    with open(tmp_path / "checkpoint_3.meta.json", "w") as f:
+        f.write('{"step": 3}')
+    with open(tmp_path / "latest.json", "w") as f:
+        f.write('{"step": 3}')
+    ckpt.gc_checkpoints(str(tmp_path), keep_last=1, keep_every=10)
+    assert (tmp_path / "checkpoint_3").exists()
+    assert (tmp_path / "checkpoint_4").exists()
+
+
+def test_strict_import_errors_on_renamed_key(rng):
+    """strict=True (what the CLI uses for .pth imports) must fail loudly
+    when a reference key goes unconsumed — the silent-mapping-bug guard."""
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(model=cfg.model.replace(
+        enc_layers=1, dec_layers=1, hidden_dim=32, nheads=4,
+        dim_feedforward=64,
+    ))
+    model = CountingDetr(cfg.model)
+    B, H, W, P = 1, 32, 32, 2
+    images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    template = model.init(
+        jax.random.PRNGKey(0), images, jnp.zeros((B, H, W), dtype=bool),
+        jnp.array(rng.uniform(0.2, 0.8, (B, P, 2)).astype(np.float32)),
+        jnp.ones((B, P), dtype=bool),
+    )
+    sd = {"transformer.surprise.weight": np.zeros((3, 3), np.float32)}
+    with pytest.raises(KeyError, match="unconsumed"):
+        ckpt.torch_state_dict_to_params(sd, template, strict=True)
+    # thop's profiling counters are allowlisted like the reference
+    # (main.py:231) — but the import still fails on the MISSING params,
+    # proving the allowlist doesn't mask absence
+    sd2 = {"backbone.total_params": np.zeros((), np.float32)}
+    with pytest.raises(KeyError, match="missing param"):
+        ckpt.torch_state_dict_to_params(sd2, template, strict=True)

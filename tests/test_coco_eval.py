@@ -166,3 +166,63 @@ def test_analytic_iou_threshold_boundary():
     # matched at t=0.50 only -> AP50 = 1, AP55..AP95 = 0; AP = 1/10
     assert out["AP50"] == pytest.approx(1.0)
     assert out["AP"] == pytest.approx(0.1)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_evaluator_matches_oracle_with_crowds(seed):
+    """Randomized parity incl. iscrowd gts: crowd regions are ignored,
+    IoU vs a crowd uses the det area as denominator, and a crowd absorbs
+    multiple dets without being consumed."""
+    rng = np.random.default_rng(seed)
+    images = []
+    ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+    for _ in range(6):
+        n_gt = int(rng.integers(1, 15))
+        n_det = int(rng.integers(0, 25))
+        d, s, g = _random_image(rng, n_gt, n_det)
+        crowd = rng.uniform(size=len(g)) < 0.3
+        images.append((d, s, g, crowd))
+        ev.add_image(d, s, g, gt_iscrowd=crowd)
+    got = ev.summarize()
+    want = oracle.summarize(images)
+    for k in KEYS:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), (k, got[k], want[k])
+
+
+def test_analytic_crowd_absorbs_multiple_dets():
+    """Two dets inside one big crowd region + one real gt matched by a third
+    det: the crowd dets are ignored (not false positives), so AP stays 1.0.
+    Without crowd semantics the two extra dets would be FPs and AP < 1."""
+    gts = np.array([[0.0, 0.0, 10.0, 10.0], [200.0, 200.0, 100.0, 100.0]])
+    crowd = np.array([False, True])
+    dets = np.array([
+        [0.0, 0.0, 10.0, 10.0],        # matches the real gt
+        [210.0, 210.0, 10.0, 10.0],    # inside the crowd
+        [250.0, 250.0, 10.0, 10.0],    # also inside the crowd
+    ])
+    scores = np.array([0.9, 0.8, 0.7])
+    ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+    ev.add_image(dets, scores, gts, gt_iscrowd=crowd)
+    got = ev.summarize()
+    assert got["AP"] == pytest.approx(1.0)
+
+    # sanity: WITHOUT the crowd flag those dets are false positives
+    ev2 = CocoEvaluator(max_dets=(900, 1000, 1100))
+    ev2.add_image(dets, scores, gts)
+    assert ev2.summarize()["AP"] < 1.0
+
+
+def test_analytic_crowd_iou_uses_det_area():
+    """A small det fully inside a huge crowd has IoU 1.0 in crowd mode
+    (inter/det_area), so it matches and is ignored even though classic IoU
+    would be ~0.01 and it would count as a false positive."""
+    gts = np.array([[0.0, 0.0, 100.0, 100.0], [300.0, 300.0, 10.0, 10.0]])
+    crowd = np.array([True, False])
+    dets = np.array([
+        [45.0, 45.0, 10.0, 10.0],      # tiny det inside the crowd
+        [300.0, 300.0, 10.0, 10.0],    # matches the real gt
+    ])
+    scores = np.array([0.9, 0.8])
+    ev = CocoEvaluator(max_dets=(900, 1000, 1100))
+    ev.add_image(dets, scores, gts, gt_iscrowd=crowd)
+    assert ev.summarize()["AP"] == pytest.approx(1.0)

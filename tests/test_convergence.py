@@ -1,7 +1,10 @@
-"""Env-gated convergence test (RUN_CONVERGENCE=1): the two-stage pipeline
-trained in-process on synthetic data must actually detect (high AP50, small
-MAE). This is the accuracy validation that stands in for real FSCD data,
-which is absent in this environment. ~10 min on a TPU chip; much longer on
+"""Env-gated convergence tests (RUN_CONVERGENCE=1): the two-stage pipeline
+trained in-process on synthetic data must actually detect — and must do so
+on the HELD-OUT test split, not just the training images. This is the
+accuracy validation that stands in for real FSCD data, which is absent in
+this environment. The synthetic sets use a fixed object size and enough
+train images that size generalization to unseen images is well-posed even
+for the tiny proof model. ~10-15 min each on a TPU chip; much longer on
 CPU."""
 
 import os
@@ -13,7 +16,7 @@ pytestmark = [
     pytest.mark.slow,
     pytest.mark.skipif(
         os.environ.get("RUN_CONVERGENCE") != "1",
-        reason="set RUN_CONVERGENCE=1 (about 10 min on TPU)",
+        reason="set RUN_CONVERGENCE=1 (about 10-15 min per test on TPU)",
     ),
 ]
 
@@ -22,15 +25,34 @@ def test_two_stage_pipeline_converges(tmp_path_factory, tmp_path):
     from tests.convergence_run import run
     from tests.synth import make_fscd147
 
-    # fixed object size: size generalization to unseen test images must be
-    # well-posed for the tiny proof model
     root = make_fscd147(
-        str(tmp_path_factory.mktemp("conv")), n_train=12,
+        str(tmp_path_factory.mktemp("conv")), n_train=48, n_val=4, n_test=8,
         fixed_obj_size=(14, 10),
     )
-    summary = run(root, str(tmp_path), steps1=150, steps2=1500, lr2=1e-3)
-    # measured on this exact recipe: AP50 0.865, MAE@0.5 = 0.0 (the
-    # adaptive 2n-1 counting rule intentionally inflates counts on a
-    # perfectly calibrated model — see convergence_run.py)
-    assert summary["AP50"] > 0.5, summary
-    assert summary["MAE@0.5"] < 1.0, summary
+    summary = run(root, str(tmp_path), steps1=300, steps2=1500, lr2=1e-3)
+    # HELD-OUT assertions (measured on this exact recipe: test AP50 0.994,
+    # test MAE@0.5 0.0; train AP50 0.996). The adaptive 2n-1 counting rule
+    # intentionally inflates reported counts on a perfectly calibrated
+    # model, so the criterion is the strict-threshold count — see
+    # convergence_run.py.
+    assert summary["test"]["AP50"] > 0.5, summary
+    assert summary["test"]["MAE@0.5"] < 1.0, summary
+    assert summary["train"]["AP50"] > 0.5, summary
+
+
+def test_lvis_pipeline_converges(tmp_path_factory, tmp_path):
+    """FSCD-LVIS flavor: exemplar aggregation + LVIS dataset/pseudo naming
+    actually LEARNS (e2e mechanics alone are covered by test_e2e_lvis.py).
+    Held-out test-split assertions, same rationale as the 147 gate."""
+    from tests.convergence_run import run_lvis
+    from tests.synth_lvis import make_fscd_lvis
+
+    root = make_fscd_lvis(
+        str(tmp_path_factory.mktemp("conv_lvis")),
+        n_per_split={"train": 36, "val": 4, "test": 8},
+        fixed_obj_size=(13, 11),
+    )
+    summary = run_lvis(root, str(tmp_path), steps1=300, steps2=1200, lr2=1e-3)
+    # measured on this exact recipe: test AP50 0.958, test MAE@0.5 0.125
+    assert summary["test"]["AP50"] > 0.5, summary
+    assert summary["test"]["MAE@0.5"] < 1.0, summary

@@ -21,12 +21,18 @@ def test_attention_map_shapes(rng):
 
 
 def test_mask_head(rng):
-    head = MaskHeadSmallConv(dim=32)
+    # reference-shaped: three fpn skips coarse-to-fine (C4, C3, C2); the
+    # trunk resizes to each skip's spatial size before the next conv
+    head = MaskHeadSmallConv(context_dim=32)
     x = jnp.array(rng.normal(size=(4, 8, 8, 36)).astype(np.float32))
-    fpn = [jnp.array(rng.normal(size=(2, 16, 16, 24)).astype(np.float32))]
+    fpn = [
+        jnp.array(rng.normal(size=(2, 8, 8, 48)).astype(np.float32)),
+        jnp.array(rng.normal(size=(2, 16, 16, 24)).astype(np.float32)),
+        jnp.array(rng.normal(size=(2, 32, 32, 12)).astype(np.float32)),
+    ]
     params = head.init(jax.random.PRNGKey(0), x, fpn)
     out = head.apply(params, x, fpn)
-    assert out.shape == (4, 16, 16)
+    assert out.shape == (4, 32, 32)
 
 
 def test_dice_loss_perfect():
@@ -71,12 +77,12 @@ def test_counting_detr_masks_integration(rng):
     pvalid = jnp.ones((B, P), dtype=bool)
     params = model.init(jax.random.PRNGKey(0), images, pad_mask, points, pvalid)
     out = model.apply(params, images, pad_mask, points, pvalid)
-    # stride-16 features 4x6 -> one 2x upsample in the mask head
-    assert out["pred_masks"].shape == (B, P, 8, 12), out["pred_masks"].shape
+    # masks end at the C2 (stride-4) resolution after the three fpn hops
+    assert out["pred_masks"].shape == (B, P, 16, 24), out["pred_masks"].shape
     assert np.isfinite(np.asarray(out["pred_masks"])).all()
 
-    masks = out["pred_masks"].reshape(B * P, 8, 12)
-    tgt = jnp.array(rng.integers(0, 2, (B * P, 8, 12)).astype(np.float32))
+    masks = out["pred_masks"].reshape(B * P, 16, 24)
+    tgt = jnp.array(rng.integers(0, 2, (B * P, 16, 24)).astype(np.float32))
     losses = mask_losses(masks, tgt, jnp.ones((B * P,), bool), float(B * P))
     assert np.isfinite(float(losses["loss_mask"]))
     assert np.isfinite(float(losses["loss_dice"]))

@@ -320,3 +320,64 @@ def test_multistep_lr_schedule():
     # without drop_epochs: periodic StepLR
     s2 = make_schedule(1.0, 2, steps_per_epoch=10)
     assert float(s2(19)) == 1.0 and float(s2(20)) == np.float32(0.1)
+
+
+def test_label_stem_vs_block_conv1():
+    """Regression for the round-4 frozen-set fix: the STEM conv1
+    (backbone/conv1) is frozen, but every bottleneck's conv1 inside
+    layer2-4 trains at lr_backbone (reference backbone.py:66-68 freezes
+    only the stem + layer1; block convs are ordinary trainable params)."""
+    import jax.tree_util as jtu
+
+    tree = {
+        "params": {
+            "backbone": {
+                "conv1": {"kernel": 0},                 # stem -> frozen
+                "layer1_0": {"conv1": {"kernel": 0}},   # layer1 -> frozen
+                "layer2_0": {
+                    "conv1": {"kernel": 0},             # block -> backbone
+                    "conv2": {"kernel": 0},
+                    "bn1": {"scale": 0},                # FrozenBN -> frozen
+                    "downsample_conv": {"kernel": 0},
+                },
+            },
+            "transformer": {"cls_embed": {"weight": 0}},
+        }
+    }
+    labels = jtu.tree_map_with_path(lambda p, _: _label(p), tree)
+    bb = labels["params"]["backbone"]
+    assert bb["conv1"]["kernel"] == "frozen"
+    assert bb["layer1_0"]["conv1"]["kernel"] == "frozen"
+    assert bb["layer2_0"]["conv1"]["kernel"] == "backbone"
+    assert bb["layer2_0"]["conv2"]["kernel"] == "backbone"
+    assert bb["layer2_0"]["bn1"]["scale"] == "frozen"
+    assert bb["layer2_0"]["downsample_conv"]["kernel"] == "backbone"
+    assert labels["params"]["transformer"]["cls_embed"]["weight"] == "main"
+
+
+def test_train_one_epoch_max_steps(rng):
+    """The smoke-run step cap: train_one_epoch stops after max_steps and
+    reports the count."""
+    from countdetr_tpu.train import engine
+
+    cfg = cfglib.stage1_config()
+    cfg = cfg.replace(model=_tiny(cfg.model))
+    model = CountingDetr(cfg.model)
+    batch = _stage1_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        batch["points"], batch["points_valid"],
+    )
+    tx = build_optimizer(cfg.train, params, steps_per_epoch=100)
+    state = create_state(params, tx)
+    step = make_train_step(model, tx, cfg)
+
+    class FiveBatches:
+        def __iter__(self):
+            return iter([dict(batch) for _ in range(5)])
+
+    state, stats = engine.train_one_epoch(
+        step, state, FiveBatches(), None, epoch=0, max_steps=2
+    )
+    assert stats["steps"] == 2
+    assert int(jax.device_get(state.step)) == 2
