@@ -3,11 +3,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Timing method: the forward is iterated inside a single jitted
-lax.fori_loop with a data dependency between iterations, so one dispatch +
-one host fetch brackets K real executions. (On the axon tunnel,
-block_until_ready alone does not reliably await remote completion, so
-naive dispatch-loop timing overreports absurdly.)
+Timing method (two-point): the forward is iterated inside a single jitted
+`lax.fori_loop` with a data dependency between iterations and a TRACED trip
+count, so one dispatch + one host fetch brackets K real executions and both
+loop lengths share one compiled program. The reported rate is
+B*(hi - lo) / (t_hi - t_lo), best of BENCH_PAIRS pairs: the fixed
+per-invocation cost (dispatch + remote fetch on the axon tunnel, measured
+anywhere from ~0.01 s to ~0.5 s depending on the day's tunnel conditions)
+cancels in the subtraction, so the number is the DEVICE throughput and is
+comparable across rounds regardless of tunnel weather; best-of (the
+standard min-time convention) rejects transient co-tenant interference,
+though the shared device's clock state itself still varies run to run —
+the SAME binary measured 577 and 434 img/s hours apart on 2026-08-19.
+(block_until_ready
+alone does not reliably await remote completion on this tunnel, hence the
+in-loop data dependency rather than a dispatch loop.)
 
 Baseline note: the reference publishes no throughput numbers
 (BASELINE.md), so vs_baseline is computed against 19 images/sec — the
@@ -15,12 +25,13 @@ AnchorDETR paper's published DC5 inference speed on a V100 (arXiv
 2109.07107, Table 1: AnchorDETR-DC5 19 FPS), the same architecture family
 and resolution class as this model. The BASELINE.json target is >= 5x.
 
-Env knobs: BENCH_BATCH (default 8), BENCH_ITERS (default 20),
-BENCH_DTYPE (float32 | bfloat16, default bfloat16),
-BENCH_PALLAS (1 | 0, default 0 — measured on v5e at this geometry the
-XLA einsum path is faster than the fused kernel: 495.6 vs 315.8 img/s/chip;
-the kernel wins only when the (B,n,L,H,d) einsum intermediate would spill,
-i.e. much larger images).
+Env knobs: BENCH_BATCH (default 32), BENCH_ITERS (the hi point, default
+40; lo = hi//4), BENCH_PAIRS (default 3), BENCH_DTYPE (float32 | bfloat16,
+default bfloat16), BENCH_PALLAS (1 | 0, default 0 — measured on v5e at
+this geometry the XLA einsum path is faster than the fused RCDA kernel;
+the decoder self-attention DOES use the fused MHA kernel by default, see
+ops/pallas/mha_kernel.py: +8% end-to-end, COUNTDETR_FUSED_MHA=0 to
+disable).
 """
 
 import json
@@ -50,7 +61,9 @@ def main():
     model = CountingDetr(cfg)
 
     B, H, W = int(os.environ.get("BENCH_BATCH", "32")), 592, 592
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    hi = int(os.environ.get("BENCH_ITERS", "40"))
+    lo = max(1, hi // 4)
+    pairs = int(os.environ.get("BENCH_PAIRS", "3"))
     rng = np.random.default_rng(0)
     images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
     pad_mask = jnp.zeros((B, H, W), dtype=bool)
@@ -66,24 +79,42 @@ def main():
     )
 
     @jax.jit
-    def run_k(params, images, pad_mask, rects):
+    def run_k(params, images, pad_mask, rects, iters):
         def body(i, img):
             out = model.apply(params, img, pad_mask, exemplar_boxes=rects)
-            # data dependency forces each iteration to fully execute
-            return img + (0.0 * out["pred_logits"][0, 0, 0]).astype(img.dtype)
+            # data dependency forces each iteration to fully execute.
+            # Single-element in-place update on the loop carry — a full
+            # `img + 0.0*out` broadcast would rewrite the f32 (B,592,592,3)
+            # image every iteration (269 MB of HBM traffic, 3.4% of
+            # measured device time: a harness artifact, not model work —
+            # round-4 profile, fusion broadcast_add_fusion.58).
+            eps = (0.0 * out["pred_logits"][0, 0, 0]).astype(img.dtype)
+            return img.at[0, 0, 0, 0].add(eps)
 
+        # traced trip count -> one compiled program serves both timing
+        # points (fori_loop lowers to while_loop)
         img = jax.lax.fori_loop(0, iters, body, images)
         out = model.apply(params, img, pad_mask, exemplar_boxes=rects)
         return out["pred_logits"][0, 0, 0]
 
+    def timed(n):
+        t0 = time.perf_counter()
+        float(run_k(params, images, pad_mask, rects, n))
+        return time.perf_counter() - t0
+
     # compile + warmup
-    float(run_k(params, images, pad_mask, rects))
-    t0 = time.perf_counter()
-    float(run_k(params, images, pad_mask, rects))
-    dt = time.perf_counter() - t0
+    timed(lo)
+    timed(hi)
+    rates = []
+    for _ in range(pairs):
+        t_lo = timed(lo)
+        t_hi = timed(hi)
+        if t_hi > t_lo:
+            rates.append(B * (hi - lo) / (t_hi - t_lo))
+    rate = max(rates)
 
     n_chips = max(jax.device_count(), 1)
-    img_per_s_per_chip = (B * (iters + 1)) / dt / n_chips
+    img_per_s_per_chip = rate / n_chips
     print(
         json.dumps(
             {

@@ -77,6 +77,66 @@ def _apply_valid(x, valid):
     return x * valid[..., None]
 
 
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv, with an optional 2x2 space-to-depth path
+    (COUNTDETR_S2D_STEM=1; requires even input sizes — bucket sizes always
+    are, data/batching.py pads to multiples of 16).
+
+    History: the round-4 op-level profile (scripts/profile_eval.py) showed
+    the stem at 0.9% of MXU peak (4.8% of eval device time) because C_in=3
+    occupies 3 of 128 input lanes. The classic fix re-expresses the SAME
+    linear map as a 4x4/s1 conv on a 12-channel half-resolution input:
+    y[i,j,(a,b,c)] = x[2i+a,2j+b,c], W'[t,s,(a,b,c),o] =
+    W[2t+a-1, 2s+b-1, c, o] (zero where the index leaves [0,7)), output
+    positions r = p+t-2 => padding (2,1). MEASURED on v5e at the 592px
+    bench geometry it is a ~2% END-TO-END REGRESSION (532.2 -> 521.4
+    img/s/chip): XLA:TPU already applies its own conv0 space-to-depth
+    rewrite to the direct form, and the hand-rolled version (explicit
+    reshape/transpose + a 1.3x-FLOPs padded kernel) is slower than the
+    compiler's. Default OFF; kept because the transform is exact (the
+    equivalence test pins it) and other geometries may differ.
+
+    The parameter keeps the reference's (7,7,3,64) layout either way, so
+    torch-checkpoint import and padding invariance are unaffected.
+    """
+
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        import jax
+
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64)
+        ).astype(x.dtype)
+        B, H, W, _ = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        if (
+            H % 2 or W % 2
+            or os.environ.get("COUNTDETR_S2D_STEM", "0") != "1"
+        ):
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn
+            )
+        y = (
+            x.reshape(B, H // 2, 2, W // 2, 2, 3)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, H // 2, W // 2, 12)
+        )
+        # W[u] at u = 2t+a-1: pad u by 1 on the low side then split even/odd
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, 3, 64)
+        ks = (
+            kp.reshape(4, 2, 4, 2, 3, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 12, 64)
+        )
+        return jax.lax.conv_general_dilated(
+            y, ks, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn
+        )
+
+
 class Bottleneck(nn.Module):
     """torchvision Bottleneck (v1.5: stride on the 3x3 conv)."""
 
@@ -133,10 +193,7 @@ class ResNetBackbone(nn.Module):
                 return None
             return (~downsample_mask(pad_mask, h, w)).astype(x.dtype)
 
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
-            name="conv1", dtype=self.dtype,
-        )(x)
+        x = StemConv(dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         # mask before maxpool: relu output >= 0, padded zeros never win the max

@@ -182,18 +182,34 @@ def mha_attention(
     wq, wk, wv = (in_proj_weight[i * E : (i + 1) * E] for i in range(3))
     bq, bk, bv = (in_proj_bias[i * E : (i + 1) * E] for i in range(3))
 
-    q = (query @ wq.T + bq).reshape(B, L, num_heads, d) * (d**-0.5)
-    k = (key @ wk.T + bk).reshape(B, -1, num_heads, d)
-    v = (value @ wv.T + bv).reshape(B, -1, num_heads, d)
+    q = (query @ wq.T + bq) * (d**-0.5)  # (B, L, E)
+    k = key @ wk.T + bk  # (B, S, E)
+    v = value @ wv.T + bv
+    S = k.shape[1]
 
-    attn = jnp.einsum("blnd,bsnd->bnls", q, k, preferred_element_type=jnp.float32)
+    # Finite large-negative bias, NOT -inf: rows whose keys are ALL
+    # padding (e.g. batch-padding rows where points_valid is entirely
+    # False) must produce a uniform softmax instead of NaN — a single
+    # remainder batch would otherwise poison the params permanently
+    # (0 * NaN = NaN survives the loss masking).
     if key_padding_mask is not None:
-        # Finite large-negative bias, NOT -inf: rows whose keys are ALL
-        # padding (e.g. batch-padding rows where points_valid is entirely
-        # False) must produce a uniform softmax instead of NaN — a single
-        # remainder batch would otherwise poison the params permanently
-        # (0 * NaN = NaN survives the loss masking).
-        attn = jnp.where(key_padding_mask[:, None, None, :], -1e30, attn)
-    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bnls,bsnd->blnd", attn, v).reshape(B, L, E)
+        bias = jnp.where(key_padding_mask, -1e30, 0.0).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((B, S), dtype=jnp.float32)
+
+    from countdetr_tpu.ops.pallas import mha_kernel
+
+    # The fused kernel removes the HBM-resident f32 (B, n, L, S) probs
+    # array (11% of eval device time at the production geometry — see
+    # ops/pallas/mha_kernel.py). XLA einsum elsewhere: CPU tests, or
+    # geometries whose full (S, E) K/V plus (L<=1024, S) f32 logits would
+    # not fit a VMEM program.
+    if (
+        mha_kernel.on_tpu()
+        and os.environ.get("COUNTDETR_FUSED_MHA", "1") == "1"
+        and (2 * S * E * q.dtype.itemsize + min(L, 1024) * S * 4) <= 8 * 2**20
+    ):
+        out = mha_kernel.mha_core_fused(q, k, v, bias, num_heads)
+    else:
+        out = mha_kernel.mha_core_einsum(q, k, v, bias, num_heads)
     return out @ out_proj_weight.T + out_proj_bias
