@@ -36,6 +36,7 @@ disable).
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -106,11 +107,19 @@ def main():
     timed(lo)
     timed(hi)
     rates = []
+    t_hi = None
     for _ in range(pairs):
         t_lo = timed(lo)
         t_hi = timed(hi)
         if t_hi > t_lo:
             rates.append(B * (hi - lo) / (t_hi - t_lo))
+    if not rates:
+        # every pair had t_hi <= t_lo (heavy tunnel jitter): report a
+        # degraded single-point estimate instead of crashing — the fixed
+        # dispatch cost doesn't cancel, so this UNDERSTATES device rate.
+        print("WARNING: timing pairs inverted; single-point fallback",
+              file=sys.stderr)
+        rates.append(B * hi / t_hi)
     rate = max(rates)
 
     n_chips = max(jax.device_count(), 1)

@@ -687,13 +687,12 @@ def main(args):
             jax.profiler.stop_trace()
             profiling = False
             print(f"profile trace: {os.path.join(args.output_dir, 'profile')}")
-        if vb is not None:
-            vstats = engine.evaluate(eval_step, state.params, vb, mesh)
-            vstats.pop("real_samples", None)
-            stats.update({f"val_{k}": v for k, v in vstats.items()})
         # cross-host metric averaging, weighted by each host's real
         # (non-padding) sample count (reference reduce_dict /
-        # synchronize_between_processes); identity when single-process
+        # synchronize_between_processes); identity when single-process.
+        # Val metrics are gathered SEPARATELY with the val host weight —
+        # merging them pre-gather would weight them by the TRAIN host's
+        # real-sample count, mis-weighting hosts with uneven val padding.
         host_weight = float(stats.pop("real_samples", 1.0))
         stats = {
             **gather_metrics(
@@ -704,6 +703,12 @@ def main(args):
             **{k: v for k, v in stats.items()
                if not isinstance(v, (int, float, np.floating))},
         }
+        if vb is not None:
+            vstats = engine.evaluate(eval_step, state.params, vb, mesh)
+            vstats = gather_metrics(
+                vstats, weight=float(vstats.pop("real_samples", 1.0))
+            )
+            stats.update({f"val_{k}": v for k, v in vstats.items()})
         if is_main_process():
             with open(log_path, "a") as f:
                 f.write(json.dumps({k: float(v) if isinstance(v, (int, float, np.floating)) else v for k, v in stats.items()}) + "\n")

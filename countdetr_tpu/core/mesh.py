@@ -173,6 +173,21 @@ def init_distributed(
     return True
 
 
+def _weighted_reduce(all_vals: np.ndarray) -> np.ndarray:
+    """Weighted per-column mean of an (n_hosts, n_metrics+1) matrix whose
+    last column is each host's weight. Accumulates in f64 so large sample
+    counts (1e5+ per host, many hosts) don't lose precision in the weighted
+    sum, and zeroes out zero-weight rows so a NaN metric on an all-padding
+    host (NaN * 0 = NaN) can't poison the mean. A NaN on a host with real
+    samples still propagates, as it should. Pure numpy — unit-tested
+    directly (tests/test_sharding.py) without spawning processes."""
+    all_vals = np.asarray(all_vals, np.float64)
+    w = all_vals[:, -1:]
+    vals = np.where(w > 0, all_vals[:, :-1], 0.0)
+    total_w = max(float(w.sum()), 1e-9)
+    return (vals * w).sum(axis=0) / total_w
+
+
 def gather_metrics(metrics: dict, weight: float = 1.0) -> dict:
     """Weighted-average scalar metrics across hosts (the reference's
     reduce_dict / MetricLogger.synchronize_between_processes,
@@ -185,16 +200,13 @@ def gather_metrics(metrics: dict, weight: float = 1.0) -> dict:
         return {k: float(v) for k, v in metrics.items()}
     from jax.experimental import multihost_utils
 
-    import numpy as np
-
     keys = sorted(metrics.keys())
-    w = np.float32(max(weight, 0.0))
+    # Transport UNWEIGHTED values + the weight (f32 over the wire — jnp
+    # would silently downcast f64 anyway); reduce host-side in f64.
     vec = np.array(
-        [float(metrics[k]) * w for k in keys] + [w], np.float32
+        [float(metrics[k]) for k in keys] + [max(weight, 0.0)], np.float32
     )
     all_vals = np.asarray(multihost_utils.process_allgather(vec)).reshape(
         jax.process_count(), -1
     )
-    total_w = max(float(all_vals[:, -1].sum()), 1e-9)
-    mean = all_vals[:, :-1].sum(axis=0) / total_w
-    return dict(zip(keys, mean.tolist()))
+    return dict(zip(keys, _weighted_reduce(all_vals).tolist()))

@@ -72,3 +72,33 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_weighted_reduce_semantics():
+    """Pure-numpy unit test of the cross-host metric reduction: real-sample
+    weighting, NaN-on-zero-weight-host masking, and f64 accumulation with
+    large weights (advisor round-4 finding on core/mesh.py)."""
+    from countdetr_tpu.core.mesh import _weighted_reduce
+
+    # weighted mean: (1*3 + 5*1) / 4 = 2.0
+    out = _weighted_reduce(np.array([[1.0, 3.0], [5.0, 1.0]], np.float32))
+    np.testing.assert_allclose(out, [2.0])
+
+    # NaN on a ZERO-weight host must not poison the mean ...
+    out = _weighted_reduce(np.array([[np.nan, 0.0], [7.0, 2.0]], np.float32))
+    np.testing.assert_allclose(out, [7.0])
+    # ... but a NaN on a host with real samples still propagates
+    out = _weighted_reduce(np.array([[np.nan, 1.0], [7.0, 2.0]], np.float32))
+    assert np.isnan(out[0])
+
+    # all-zero weights: defined (0.0), not a div-by-zero
+    out = _weighted_reduce(np.array([[3.0, 0.0], [7.0, 0.0]], np.float32))
+    np.testing.assert_allclose(out, [0.0])
+
+    # f64 accumulation: 64 hosts x weight 1e6, values differing by 1e-3 —
+    # an f32 weighted sum (~1e8 magnitude, eps ~8) would lose the signal
+    n = 64
+    vals = 100.0 + 1e-3 * np.arange(n)
+    mat = np.stack([vals, np.full(n, 1e6)], axis=1)
+    out = _weighted_reduce(mat)
+    np.testing.assert_allclose(out, [vals.mean()], rtol=1e-12)
