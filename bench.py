@@ -3,40 +3,51 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Timing method (two-point): the forward is iterated inside a single jitted
-`lax.fori_loop` with a data dependency between iterations and a TRACED trip
-count, so one dispatch + one host fetch brackets K real executions and both
-loop lengths share one compiled program. The reported rate is
-B*(hi - lo) / (t_hi - t_lo), best of BENCH_PAIRS pairs: the fixed
-per-invocation cost (dispatch + remote fetch on the axon tunnel, measured
-anywhere from ~0.01 s to ~0.5 s depending on the day's tunnel conditions)
-cancels in the subtraction, so the number is the DEVICE throughput and is
-comparable across rounds regardless of tunnel weather; best-of (the
-standard min-time convention) rejects transient co-tenant interference,
-though the shared device's clock state itself still varies run to run —
-the SAME binary measured 577 and 434 img/s hours apart on 2026-08-19.
-(block_until_ready
-alone does not reliably await remote completion on this tunnel, hence the
-in-loop data dependency rather than a dispatch loop.)
+Input pipe: what production eval feeds the chip (cli/main.py defaults) —
+raw uint8 images, space-to-depth packed on the host to (B, 296, 296, 12)
+(data/batching.py::pack_space_to_depth), normalized on device. The packed
+layout exists because a 3-channel-minor tensor wastes 125/128 lanes of
+every (8,128) tile: the round-5 profile measured 22 ms/forward (B=32) in
+the f32->bf16 input convert + 7x7 stem conv alone on the unpacked form.
+BENCH_PACKED=0 restores the legacy f32 (B,592,592,3) input for comparison.
 
-Baseline note: the reference publishes no throughput numbers
-(BASELINE.md), so vs_baseline is computed against 19 images/sec — the
-AnchorDETR paper's published DC5 inference speed on a V100 (arXiv
-2109.07107, Table 1: AnchorDETR-DC5 19 FPS), the same architecture family
-and resolution class as this model. The BASELINE.json target is >= 5x.
+Timing: TWO estimators of the same quantity (device throughput), reported
+as the better-conditioned one:
+
+1. PROFILER (preferred): the forward is iterated inside one jitted
+   `lax.fori_loop`; a jax.profiler trace is captured around one invocation
+   and the `while` envelope's device time / iters is the per-forward device
+   time — including intra-loop scheduling gaps, excluding ALL host/tunnel
+   overhead. Wall-clock timing through the axon tunnel carries a variable
+   dispatch+fetch cost (0.01-0.5 s depending on tunnel weather; the SAME
+   binary measured 577 vs 434 img/s hours apart on 2026-08-19), which this
+   estimator is immune to.
+2. TWO-POINT WALL CLOCK (fallback, the rounds-1..4 method): rate =
+   B*(hi-lo)/(t_hi-t_lo), best of BENCH_PAIRS pairs — the fixed
+   per-invocation cost cancels in the subtraction, but the tunnel's
+   run-to-run variance does not.
+
+Baseline note: the reference publishes no throughput numbers (BASELINE.md),
+so vs_baseline is computed against 19 images/sec — the AnchorDETR paper's
+published DC5 inference speed on a V100 (arXiv 2109.07107, Table 1:
+AnchorDETR-DC5 19 FPS), the same architecture family and resolution class
+as this model. The BASELINE.json target is >= 5x.
 
 Env knobs: BENCH_BATCH (default 32), BENCH_ITERS (the hi point, default
 40; lo = hi//4), BENCH_PAIRS (default 3), BENCH_DTYPE (float32 | bfloat16,
-default bfloat16), BENCH_PALLAS (1 | 0, default 0 — measured on v5e at
-this geometry the XLA einsum path is faster than the fused RCDA kernel;
-the decoder self-attention DOES use the fused MHA kernel by default, see
-ops/pallas/mha_kernel.py: +8% end-to-end, COUNTDETR_FUSED_MHA=0 to
-disable).
+default bfloat16), BENCH_PACKED (1 | 0, default 1), BENCH_PROFILE (1 | 0,
+default 1 — 0 forces the wall-clock estimator), BENCH_PALLAS (1 | 0,
+default 0 — measured on v5e at this geometry the XLA einsum path is faster
+than the fused RCDA kernel; the decoder self-attention DOES use the fused
+MHA kernel by default, see ops/pallas/mha_kernel.py: +8% end-to-end,
+COUNTDETR_FUSED_MHA=0 to disable).
 """
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -52,10 +63,12 @@ def main():
     import jax.numpy as jnp
 
     from countdetr_tpu import config as cfglib
+    from countdetr_tpu.data.batching import pack_space_to_depth
     from countdetr_tpu.models import CountingDetr
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    packed = os.environ.get("BENCH_PACKED", "1") == "1"
     cfg = cfglib.stage2_config().model.replace(
         compute_dtype=dtype, use_pallas_rcda=use_pallas
     )
@@ -66,7 +79,14 @@ def main():
     lo = max(1, hi // 4)
     pairs = int(os.environ.get("BENCH_PAIRS", "3"))
     rng = np.random.default_rng(0)
-    images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    if packed:
+        images = jnp.array(
+            pack_space_to_depth(
+                rng.integers(0, 256, (B, H, W, 3)).astype(np.uint8)
+            )
+        )
+    else:
+        images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
     pad_mask = jnp.zeros((B, H, W), dtype=bool)
     rects = jnp.tile(
         jnp.array(
@@ -85,10 +105,9 @@ def main():
             out = model.apply(params, img, pad_mask, exemplar_boxes=rects)
             # data dependency forces each iteration to fully execute.
             # Single-element in-place update on the loop carry — a full
-            # `img + 0.0*out` broadcast would rewrite the f32 (B,592,592,3)
-            # image every iteration (269 MB of HBM traffic, 3.4% of
-            # measured device time: a harness artifact, not model work —
-            # round-4 profile, fusion broadcast_add_fusion.58).
+            # `img + 0.0*out` broadcast would rewrite the whole image every
+            # iteration (a harness artifact, not model work — round-4
+            # profile, fusion broadcast_add_fusion.58).
             eps = (0.0 * out["pred_logits"][0, 0, 0]).astype(img.dtype)
             return img.at[0, 0, 0, 0].add(eps)
 
@@ -106,6 +125,29 @@ def main():
     # compile + warmup
     timed(lo)
     timed(hi)
+
+    # estimator 1: device time from the profiler's while envelope
+    rate_dev = None
+    if os.environ.get("BENCH_PROFILE", "1") == "1":
+        trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+        try:
+            jax.profiler.start_trace(trace_dir)
+            timed(hi)
+            jax.profiler.stop_trace()
+            from countdetr_tpu.utils.xprof import (
+                parse_trace, while_envelope_seconds,
+            )
+
+            env_s = while_envelope_seconds(parse_trace(trace_dir)[0])
+            if env_s > 0:
+                rate_dev = B * hi / env_s
+        except Exception as e:  # profiler/proto unavailable: fall back
+            print(f"WARNING: profiler estimator failed ({e}); "
+                  "falling back to wall-clock", file=sys.stderr)
+        finally:
+            shutil.rmtree(trace_dir, ignore_errors=True)
+
+    # estimator 2: two-point wall clock
     rates = []
     t_hi = None
     for _ in range(pairs):
@@ -120,7 +162,14 @@ def main():
         print("WARNING: timing pairs inverted; single-point fallback",
               file=sys.stderr)
         rates.append(B * hi / t_hi)
-    rate = max(rates)
+    rate_wall = max(rates)
+    rate = rate_dev if rate_dev is not None else rate_wall
+    print(
+        f"device-profile rate: "
+        f"{'n/a' if rate_dev is None else f'{rate_dev:.1f}'} img/s, "
+        f"wall two-point rate: {rate_wall:.1f} img/s",
+        file=sys.stderr,
+    )
 
     n_chips = max(jax.device_count(), 1)
     img_per_s_per_chip = rate / n_chips

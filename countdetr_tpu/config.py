@@ -99,6 +99,13 @@ class DataConfig:
     # normalizes on device, host->device transfer shrinks 4x
     # (models/anchor_detr.py::normalize_uint8)
     host_normalize: bool = True
+    # space-to-depth-pack batched images on the host: (B, H, W, 3) ->
+    # (B, H/2, W/2, 12), so the device never touches a 3-channel-minor
+    # tensor (22 ms/forward of layout tax at the 592px/B=32 eval geometry —
+    # data/batching.py::pack_space_to_depth). The stem conv runs the exact
+    # 4x4/s1 equivalent (models/resnet.py::StemConv). CLI default: on for
+    # the raw-uint8 pipe, off under --host_normalize/--exact_replay.
+    pack_s2d: bool = False
 
     # 'sampled' spatial prior: points drawn per image from the density map
     # (reference data/fsc147.py:127 — 300); 0 disables emission

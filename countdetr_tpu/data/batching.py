@@ -70,6 +70,37 @@ def pad_to_bucket(img: np.ndarray, bucket: Tuple[int, int]):
     return out, mask
 
 
+def pack_space_to_depth(images: np.ndarray) -> np.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), packing each 2x2 pixel block into
+    channels (row-phase major, column-phase, then channel:
+    out[..., (a*2+b)*C + c] = in[..., 2i+a, 2j+b, c]).
+
+    Why: a 3-channel-minor image tensor is catastrophic on TPU — the (8,128)
+    tile uses 3 of 128 lanes, so the device-side f32->bf16 convert and the
+    7x7 stem conv together measured 22 ms of a 71 ms eval forward at B=32
+    (round-5 profile, scripts/profile_eval.py: convert_element_type.6823
+    13.2 ms + stem fusion 9.0 ms). Packing on the HOST (where layout is
+    irrelevant — this is a byte shuffle) hands the device a 12-channel
+    tensor, and the stem runs as the equivalent 4x4/s1 conv
+    (models/resnet.py::StemConv, exact same linear map). The reference
+    never needs this: torch GPUs use NCHW where C=3 is not the minor dim.
+    """
+    B, H, W, C = images.shape
+    assert H % 2 == 0 and W % 2 == 0, f"s2d needs even sizes, got {(H, W)}"
+    out = images.reshape(B, H // 2, 2, W // 2, 2, C)
+    return np.ascontiguousarray(
+        out.transpose(0, 1, 3, 2, 4, 5)
+    ).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def unpack_space_to_depth(images: np.ndarray) -> np.ndarray:
+    """Inverse of pack_space_to_depth: (B, H/2, W/2, 4C) -> (B, H, W, C)."""
+    B, H2, W2, C4 = images.shape
+    C = C4 // 4
+    out = images.reshape(B, H2, W2, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(out).reshape(B, H2 * 2, W2 * 2, C)
+
+
 def pad_rows(x: np.ndarray, n: int, dims: int):
     """Pad (k, dims) array to (n, dims) + validity (n,). Extra rows clipped."""
     x = np.asarray(x, dtype=np.float32).reshape(-1, dims)[:n]
@@ -146,6 +177,7 @@ class Batcher:
         process_index: int = 0,
         process_count: int = 1,
         num_workers: int = 0,
+        pack_s2d: bool = False,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -167,6 +199,9 @@ class Batcher:
         # epochs.
         self.num_workers = num_workers
         self._loader = None
+        # emit images space-to-depth packed (B, H/2, W/2, 12) — see
+        # pack_space_to_depth. pad_mask stays at full resolution.
+        self.pack_s2d = pack_s2d
         # (bucket, n_points, n_boxes) per sample index — epoch-invariant, so
         # one metadata pass serves every epoch (image_size() header reads /
         # annotation-count lookups are cheap but O(dataset) per call)
@@ -246,6 +281,8 @@ class Batcher:
             meta["n_boxes"] = n_boxes
             batch["meta"].append(meta)
         batch["images"] = np.stack(images)
+        if self.pack_s2d:
+            batch["images"] = pack_space_to_depth(batch["images"])
         batch["pad_mask"] = np.stack(masks)
         bv = np.zeros((self.bs,), dtype=bool)
         bv[:real] = True

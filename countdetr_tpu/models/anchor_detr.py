@@ -41,10 +41,26 @@ def normalize_uint8(images: jnp.ndarray) -> jnp.ndarray:
     math the host path runs in numpy (data/fscd147.py::load_image). Raw
     uint8 through the input pipe means 4x less host->device traffic and no
     per-image host float math; the few fused VPU ops here are free next to
-    the backbone convs."""
-    mean = jnp.asarray(_IMNET_MEAN, jnp.float32)
-    std = jnp.asarray(_IMNET_STD, jnp.float32)
+    the backbone convs.
+
+    Accepts 3-channel images or the space-to-depth-packed 12-channel form
+    (data/batching.py::pack_space_to_depth, channel fastest within each 2x2
+    block) — the constants tile accordingly."""
+    reps = images.shape[-1] // 3
+    mean = jnp.tile(jnp.asarray(_IMNET_MEAN, jnp.float32), reps)
+    std = jnp.tile(jnp.asarray(_IMNET_STD, jnp.float32), reps)
     return (images.astype(jnp.float32) / 255.0 - mean) / std
+
+
+def pack_mask_s2d(pad_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) bool -> (B, H/2, W/2, 12) bool matching
+    pack_space_to_depth's channel order ((a*2+b)*3 + c), for re-zeroing
+    padded pixels of a packed image. Content sizes inside a bucket can be
+    odd, so a packed cell may be half padding — per-channel masking keeps
+    the packed path bit-faithful to the full-resolution one."""
+    B, H, W = pad_mask.shape
+    m4 = pad_mask.reshape(B, H // 2, 2, W // 2, 2).transpose(0, 1, 3, 2, 4)
+    return jnp.repeat(m4.reshape(B, H // 2, W // 2, 4), 3, axis=-1)
 
 
 def _xavier_conv(key, shape, dtype=jnp.float32):
@@ -142,7 +158,8 @@ class CountingDetr(nn.Module):
     @nn.compact
     def __call__(
         self,
-        images: jnp.ndarray,  # (B, H, W, 3) normalized f32, or raw uint8
+        images: jnp.ndarray,  # (B, H, W, 3) normalized f32 or raw uint8, or
+        #                       (B, H/2, W/2, 12) s2d-packed (production pipe)
         pad_mask: jnp.ndarray,  # (B, H, W) bool, True on padding
         points: Optional[jnp.ndarray] = None,  # (B, P, 2) for defined/sampled prior
         points_valid: Optional[jnp.ndarray] = None,  # (B, P)
@@ -151,13 +168,15 @@ class CountingDetr(nn.Module):
     ):
         cfg = self.cfg
 
+        packed = images.shape[-1] == 12  # s2d-packed input pipe
         if images.dtype == jnp.uint8:
             images = normalize_uint8(images)
             # the host float pipe pads AFTER normalizing, so pad pixels are
             # exactly 0.0 there; raw-uint8 pads are 0 -> normalize gives
             # -mean/std, which conv1's 7x7 window would leak into border
             # features and break bucket-size invariance. Re-zero the pads.
-            images = jnp.where(pad_mask[..., None], 0.0, images)
+            pm = pack_mask_s2d(pad_mask) if packed else pad_mask[..., None]
+            images = jnp.where(pm, 0.0, images)
         dt = jnp.dtype(cfg.compute_dtype)
         multi_level = cfg.num_feature_levels > 1
         feats = ResNetBackbone(

@@ -78,26 +78,28 @@ def _apply_valid(x, valid):
 
 
 class StemConv(nn.Module):
-    """The 7x7/s2 stem conv, with an optional 2x2 space-to-depth path
-    (COUNTDETR_S2D_STEM=1; requires even input sizes — bucket sizes always
-    are, data/batching.py pads to multiples of 16).
+    """The 7x7/s2 stem conv, with a 2x2 space-to-depth formulation.
 
-    History: the round-4 op-level profile (scripts/profile_eval.py) showed
-    the stem at 0.9% of MXU peak (4.8% of eval device time) because C_in=3
-    occupies 3 of 128 input lanes. The classic fix re-expresses the SAME
-    linear map as a 4x4/s1 conv on a 12-channel half-resolution input:
-    y[i,j,(a,b,c)] = x[2i+a,2j+b,c], W'[t,s,(a,b,c),o] =
-    W[2t+a-1, 2s+b-1, c, o] (zero where the index leaves [0,7)), output
-    positions r = p+t-2 => padding (2,1). MEASURED on v5e at the 592px
-    bench geometry it is a ~2% END-TO-END REGRESSION (532.2 -> 521.4
-    img/s/chip): XLA:TPU already applies its own conv0 space-to-depth
-    rewrite to the direct form, and the hand-rolled version (explicit
-    reshape/transpose + a 1.3x-FLOPs padded kernel) is slower than the
-    compiler's. Default OFF; kept because the transform is exact (the
-    equivalence test pins it) and other geometries may differ.
+    Three input forms:
+      * (B, H, W, 3) — the direct 7x7/s2 convolution (default);
+      * (B, H, W, 3) with COUNTDETR_S2D_STEM=1 — pack to s2d ON DEVICE then
+        run the 4x4/s1 form. MEASURED a ~2% end-to-end regression on v5e
+        (532.2 -> 521.4 img/s): the device-side repack itself pays the
+        3-channel-minor layout tax the rewrite is meant to avoid. Kept for
+        experiments only;
+      * (B, H/2, W/2, 12) — input ALREADY s2d-packed by the host pipeline
+        (data/batching.py::pack_space_to_depth). This is the production
+        path: the round-5 profile showed the direct stem at 9.0 ms/forward
+        (B=32, 592px) because C_in=3 fills 3 of 128 MXU lanes; with the
+        host-packed 12-channel input the same linear map runs as a 4x4/s1
+        conv with no device-side repack.
 
-    The parameter keeps the reference's (7,7,3,64) layout either way, so
-    torch-checkpoint import and padding invariance are unaffected.
+    The rewrite is exact: y[i,j,(a,b,c)] = x[2i+a,2j+b,c],
+    W'[t,s,(a,b,c),o] = W[2t+a-1, 2s+b-1, c, o] (zero where the index
+    leaves [0,7)), output positions r = p+t-2 => padding (2,1). The
+    parameter keeps the reference's (7,7,3,64) layout in every form, so
+    torch-checkpoint import (train/checkpoints.py) is unaffected;
+    tests/test_stem_s2d.py pins all three forms against each other.
     """
 
     dtype: object = None
@@ -111,20 +113,23 @@ class StemConv(nn.Module):
         k = self.param(
             "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64)
         ).astype(x.dtype)
-        B, H, W, _ = x.shape
+        B, H, W, C = x.shape
         dn = ("NHWC", "HWIO", "NHWC")
-        if (
-            H % 2 or W % 2
-            or os.environ.get("COUNTDETR_S2D_STEM", "0") != "1"
-        ):
-            return jax.lax.conv_general_dilated(
-                x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn
+        if C == 3:
+            if (
+                H % 2 or W % 2
+                or os.environ.get("COUNTDETR_S2D_STEM", "0") != "1"
+            ):
+                return jax.lax.conv_general_dilated(
+                    x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn
+                )
+            x = (
+                x.reshape(B, H // 2, 2, W // 2, 2, 3)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(B, H // 2, W // 2, 12)
             )
-        y = (
-            x.reshape(B, H // 2, 2, W // 2, 2, 3)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(B, H // 2, W // 2, 12)
-        )
+        else:
+            assert C == 12, f"StemConv expects 3 or 12 channels, got {C}"
         # W[u] at u = 2t+a-1: pad u by 1 on the low side then split even/odd
         kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, 3, 64)
         ks = (
@@ -133,7 +138,7 @@ class StemConv(nn.Module):
             .reshape(4, 4, 12, 64)
         )
         return jax.lax.conv_general_dilated(
-            y, ks, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn
+            x, ks, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn
         )
 
 

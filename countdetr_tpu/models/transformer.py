@@ -218,16 +218,18 @@ class EncoderLayer(nn.Module):
         if self.attention_type == "RCDA":
             q_row_in = src + posemb_row[:, None, :, :]  # (B,H,W,C)
             q_col_in = src + posemb_col[:, :, None, :]
+            # queries stay in grid form (B,H,W,C): merging H*W here costs a
+            # relayout copy per layer on TPU (ops/rcda.py grid-query path)
             src2 = RCDAAttention(
                 self.d_model, self.num_heads, self.use_pallas, name="self_attn"
             )(
-                q_row_in.reshape(B, H * W, C),
-                q_col_in.reshape(B, H * W, C),
+                q_row_in,
+                q_col_in,
                 q_row_in,
                 q_col_in,
                 src,
                 key_padding_mask=pad_mask,
-            ).reshape(B, H, W, C)
+            )
         else:
             q = (src + posemb_2d).reshape(B, H * W, C)
             src2 = MHAttention(self.d_model, self.num_heads, name="self_attn")(

@@ -71,6 +71,46 @@ def _rcda_core_einsum(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_hea
     return out.reshape(B, L, E)
 
 
+def _rcda_core_einsum_grid(
+    q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads
+):
+    """Grid-query variant of _rcda_core_einsum: queries live on the (H, W)
+    feature grid — the ENCODER's self-attention case, where L == H*W.
+
+    Why a separate formulation: merging (H, W) -> L=H*W on a tiled TPU
+    tensor is not free — H=W=37 is tile-unaligned, so XLA materializes a
+    relayout copy per encoder layer (6 x 1.02 ms/forward at the 592px/B=32
+    geometry, round-5 profile, fusion.4539...). Keeping the query axes
+    (x, y) unmerged through every einsum removes the merge point entirely;
+    the math is identical (tests/test_rcda.py pins it against the flat
+    core).
+
+    q_row/q_col: (B, H, W, E) pre-scaled; k/v/biases as in the flat core.
+    Returns (B, H, W, E)."""
+    B, H, W, E = q_row.shape
+    d = E // num_heads
+
+    def heads(x):
+        return x.reshape(*x.shape[:-1], num_heads, d)
+
+    qr, qc = heads(q_row), heads(q_col)
+    kr, kc = heads(k_row), heads(k_col)
+    vh = heads(v)
+
+    attn_row = jnp.einsum(
+        "bxynd,bwnd->bnxyw", qr, kr, preferred_element_type=jnp.float32
+    ) + bias_row[:, None, None, None, :]
+    attn_col = jnp.einsum(
+        "bxynd,bhnd->bnxyh", qc, kc, preferred_element_type=jnp.float32
+    ) + bias_col[:, None, None, None, :]
+    attn_row = jax.nn.softmax(attn_row, axis=-1).astype(v.dtype)
+    attn_col = jax.nn.softmax(attn_col, axis=-1).astype(v.dtype)
+
+    hid = jnp.einsum("bnxyw,bhwnd->bnxyhd", attn_row, vh)
+    out = jnp.einsum("bnxyh,bnxyhd->bxynd", attn_col, hid)
+    return out.reshape(B, H, W, E)
+
+
 # v3 (default): the two-stage short-axis form — the faster of the two
 # kernels at the measured geometry (333 vs 326 img/s, PERFORMANCE.md);
 # rank1: single full-width H*W contraction, for much larger H, W.
@@ -105,8 +145,8 @@ _rcda_core_pallas.defvjp(_rcda_pallas_fwd, _rcda_pallas_bwd)
 
 
 def rcda_attention(
-    query_row: jnp.ndarray,  # (B, L, E)
-    query_col: jnp.ndarray,  # (B, L, E)
+    query_row: jnp.ndarray,  # (B, L, E), or (B, H, W, E) grid queries
+    query_col: jnp.ndarray,  # same shape as query_row
     key_row: jnp.ndarray,  # (B, H, W, E)
     key_col: jnp.ndarray,  # (B, H, W, E)
     value: jnp.ndarray,  # (B, H, W, E)
@@ -115,8 +155,15 @@ def rcda_attention(
     key_padding_mask: Optional[jnp.ndarray] = None,  # (B, H, W) True = pad
     use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """Returns (B, L, E)."""
-    B, L, E = query_row.shape
+    """Returns (B, L, E) for flat queries, (B, H, W, E) for grid queries.
+
+    Grid queries (the encoder, where queries ARE the feature-map pixels)
+    stay 4-D through the whole computation — see _rcda_core_einsum_grid for
+    why merging H*W is a per-layer relayout copy on TPU. The Pallas kernel
+    keeps the flat interface, so use_pallas flattens grid queries at the
+    kernel boundary (and the kernel's VMEM tiling makes the layout moot)."""
+    grid_q = query_row.ndim == 4
+    B, E = query_row.shape[0], query_row.shape[-1]
     H, W = key_row.shape[1], key_row.shape[2]
     d = E // num_heads
     scaling = d**-0.5
@@ -157,8 +204,18 @@ def rcda_attention(
         bias_row = jnp.zeros((B, W), dtype=q_row.dtype)
         bias_col = jnp.zeros((B, H), dtype=q_row.dtype)
 
-    core = _rcda_core_pallas if use_pallas else _rcda_core_einsum
+    if grid_q and use_pallas:
+        q_row = q_row.reshape(B, H * W, E)
+        q_col = q_col.reshape(B, H * W, E)
+    if use_pallas:
+        core = _rcda_core_pallas
+    elif grid_q:
+        core = _rcda_core_einsum_grid
+    else:
+        core = _rcda_core_einsum
     out = core(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
+    if grid_q and use_pallas:
+        out = out.reshape(B, H, W, E)
     return out @ params.out_proj_weight.T + params.out_proj_bias
 
 

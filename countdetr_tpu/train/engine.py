@@ -128,6 +128,7 @@ def generate_pseudo_labels(
         max_points=cfg.data.max_points,
         point_tiers=tiers,
         num_workers=cfg.data.num_workers,
+        pack_s2d=cfg.data.pack_s2d,
     )
     images: List[Dict] = []
     annotations: List[Dict] = []
@@ -199,6 +200,7 @@ def infer_detections(
         max_boxes=cfg.data.max_boxes,
         max_points=cfg.data.max_points,
         num_workers=cfg.data.num_workers,
+        pack_s2d=cfg.data.pack_s2d,
     )
     images: List[Dict] = []
     annotations: List[Dict] = []
@@ -305,6 +307,7 @@ def stage1_test(
         dataset, cfg.data.batch_size, cfg.data.buckets,
         max_points=cfg.data.max_points, max_boxes=cfg.data.max_boxes,
         num_workers=cfg.data.num_workers,
+        pack_s2d=cfg.data.pack_s2d,
     )
     images: List[Dict] = []
     annotations: List[Dict] = []
@@ -360,6 +363,12 @@ def stage1_test(
 
                 os.makedirs(vis_dir, exist_ok=True)
                 img = np.asarray(batch["images"][i])
+                if img.shape[-1] == 12:  # s2d-packed pipe: restore pixels
+                    from countdetr_tpu.data.batching import (
+                        unpack_space_to_depth,
+                    )
+
+                    img = unpack_space_to_depth(img[None])[0]
                 # content extent from the pad mask, NOT the bucket dims —
                 # boxes are in original-image pixels and must scale to the
                 # resized content region, which the bucket merely pads

@@ -2,18 +2,17 @@
 geometry) and print a per-op-category time breakdown.
 
 This replaces A/B-subtraction guesses (VERDICT r3 weak #3): jax.profiler
-writes an XSpace protobuf; we parse the TPU op-level trace lines directly
-and aggregate device time by HLO category (convolution / fusion kinds /
-copy / etc.) and by top individual ops.
+writes an XSpace protobuf; countdetr_tpu.utils.xprof parses the TPU
+op-level trace ("XLA Ops" line only — async DMA lines overlap compute and
+would distort the shares) and aggregates device time by HLO category and
+top individual ops.
 
-Usage:  python scripts/profile_eval.py [--iters N] [--batch B]
-Output: a sorted table of device-time share per op category + top-20 ops,
+Usage:  python scripts/profile_eval.py [--iters N] [--batch B] [--packed 0|1]
+Output: a sorted table of device-time share per op category + top-25 ops,
         written to stdout and /tmp/profile_eval_summary.json.
 """
 
 import argparse
-import glob
-import gzip
 import json
 import os
 import sys
@@ -21,21 +20,32 @@ import sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
-def capture(trace_dir: str, batch: int, iters: int, dtype: str):
+def capture(trace_dir: str, batch: int, iters: int, dtype: str, packed: bool):
     import jax
     import jax.numpy as jnp
 
     from countdetr_tpu import config as cfglib
+    from countdetr_tpu.data.batching import pack_space_to_depth
     from countdetr_tpu.models import CountingDetr
 
     cfg = cfglib.stage2_config().model.replace(compute_dtype=dtype)
     model = CountingDetr(cfg)
     B, H, W = batch, 592, 592
     rng = np.random.default_rng(0)
-    images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    if packed:
+        # production pipe: raw uint8, host-s2d-packed, device normalize
+        images = jnp.array(
+            pack_space_to_depth(
+                rng.integers(0, 256, (B, H, W, 3)).astype(np.uint8)
+            )
+        )
+    else:
+        images = jnp.array(rng.normal(size=(B, H, W, 3)).astype(np.float32))
     pad_mask = jnp.zeros((B, H, W), dtype=bool)
     rects = jnp.tile(
         jnp.array(
@@ -52,7 +62,11 @@ def capture(trace_dir: str, batch: int, iters: int, dtype: str):
     def run_k(params, images, pad_mask, rects):
         def body(i, img):
             out = model.apply(params, img, pad_mask, exemplar_boxes=rects)
-            return img + (0.0 * out["pred_logits"][0, 0, 0]).astype(img.dtype)
+            # single-element carry update, same as bench.py: a full
+            # `img + 0.0*out` broadcast would add 2.1 ms/iter of harness
+            # HBM traffic (measured round-5 profile, broadcast_add_fusion.58)
+            eps = (0.0 * out["pred_logits"][0, 0, 0]).astype(img.dtype)
+            return img.at[0, 0, 0, 0].add(eps)
 
         img = jax.lax.fori_loop(0, iters, body, images)
         out = model.apply(params, img, pad_mask, exemplar_boxes=rects)
@@ -65,76 +79,45 @@ def capture(trace_dir: str, batch: int, iters: int, dtype: str):
     jax.profiler.stop_trace()
 
 
-def parse(trace_dir: str):
-    """Aggregate device time per op from the xplane protobuf."""
-    from xprof.convert import _pywrap_profiler_plugin as pp  # noqa: F401
-
-    paths = glob.glob(
-        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
-    )
-    if not paths:
-        raise SystemExit(f"no xplane.pb under {trace_dir}")
-    path = max(paths, key=os.path.getmtime)
-
-    # third_party xplane proto is bundled with xprof / tensorboard plugin
-    try:
-        from xprof.protobuf import xplane_pb2
-    except ImportError:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-
-    xs = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xs.ParseFromString(f.read())
-
-    per_op = {}
-    total = 0.0
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "/device:" not in plane.name:
-            continue
-        stats_meta = {k: v.name for k, v in plane.stat_metadata.items()}
-        ev_meta = {k: v for k, v in plane.event_metadata.items()}
-        for line in plane.lines:
-            lname = line.name.lower()
-            # op-level lines: "XLA Ops" / "XLA Modules" etc.; we want ops
-            if "op" not in lname or "module" in lname:
-                continue
-            for ev in line.events:
-                md = ev_meta.get(ev.metadata_id)
-                name = md.name if md else str(ev.metadata_id)
-                dur = ev.duration_ps / 1e12
-                cat = None
-                for st in ev.stats:
-                    sname = stats_meta.get(st.metadata_id, "")
-                    if sname in ("hlo_category", "category"):
-                        cat = st.str_value or None
-                rec = per_op.setdefault(name, [0.0, 0, cat])
-                rec[0] += dur
-                rec[1] += 1
-                if cat and not rec[2]:
-                    rec[2] = cat
-                total += dur
-    return per_op, total
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--packed", type=int, default=1,
+                    help="1: production uint8 s2d-packed input pipe; "
+                    "0: legacy f32 (B,H,W,3)")
     ap.add_argument("--trace_dir", default="/tmp/profile_eval")
     ap.add_argument("--parse_only", action="store_true")
     args = ap.parse_args()
 
     if not args.parse_only:
-        capture(args.trace_dir, args.batch, args.iters, args.dtype)
+        capture(args.trace_dir, args.batch, args.iters, args.dtype,
+                bool(args.packed))
 
-    per_op, total = parse(args.trace_dir)
+    from countdetr_tpu.utils.xprof import parse_trace, while_envelope_seconds
+
+    per_op, total = parse_trace(args.trace_dir)
+    # the fori_loop lowers to a while whose ops ALSO appear individually:
+    # the envelope double-counts. Pull it out — its duration / iters is the
+    # truest per-forward device time (includes intra-loop scheduling gaps).
+    while_t = while_envelope_seconds(per_op)
+    per_op = {n: v for n, v in per_op.items()
+              if not n.lstrip("%").startswith("while")}
+    total -= while_t
     by_cat = {}
     for name, (dur, cnt, cat) in per_op.items():
         c = cat or "uncategorized"
         by_cat[c] = by_cat.get(c, 0.0) + dur
 
-    print(f"\ntotal device op time: {total * 1e3:.2f} ms")
+    if while_t > 0:
+        per_fwd = while_t / args.iters
+        print(
+            f"\nwhile envelope: {while_t * 1e3:.2f} ms / {args.iters} iters"
+            f" = {per_fwd * 1e3:.2f} ms/forward @ B={args.batch}"
+            f" -> {args.batch / per_fwd:.1f} img/s device-side"
+        )
+    print(f"total device op time (excl while envelope): {total * 1e3:.2f} ms")
     print("\n== by category ==")
     for c, d in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  {c:30s} {d * 1e3:9.2f} ms  {100 * d / total:5.1f}%")
@@ -149,6 +132,10 @@ def main():
         json.dump(
             {
                 "total_s": total,
+                "while_envelope_s": while_t,
+                "iters": args.iters,
+                "batch": args.batch,
+                "packed": bool(args.packed),
                 "by_category": by_cat,
                 "top_ops": [
                     {"name": n, "s": d, "count": c, "category": cat}

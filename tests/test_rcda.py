@@ -108,3 +108,50 @@ def test_mha_matches_torch(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_grid_query_core_matches_flat(rng, with_mask):
+    """The encoder's grid-query path (queries kept (B,H,W,E), ops/rcda.py::
+    _rcda_core_einsum_grid) must equal the flat (B,L,E) core exactly up to
+    float reorder — same projections, same softmaxes, different einsum
+    shapes."""
+    E, n, B, H, W = 32, 4, 2, 6, 9
+    qr = rng.normal(size=(B, H, W, E)).astype(np.float32)
+    qc = rng.normal(size=(B, H, W, E)).astype(np.float32)
+    kr = rng.normal(size=(B, H, W, E)).astype(np.float32)
+    kc = rng.normal(size=(B, H, W, E)).astype(np.float32)
+    v = rng.normal(size=(B, H, W, E)).astype(np.float32)
+    params = rcda.RCDAParams(
+        in_proj_weight=jnp.asarray(
+            rng.normal(size=(5 * E, E)).astype(np.float32)
+        ),
+        in_proj_bias=jnp.asarray(rng.normal(size=(5 * E,)).astype(np.float32)),
+        out_proj_weight=jnp.asarray(
+            rng.normal(size=(E, E)).astype(np.float32)
+        ),
+        out_proj_bias=jnp.asarray(rng.normal(size=(E,)).astype(np.float32)),
+    )
+    mask = None
+    if with_mask:
+        mask = np.zeros((B, H, W), dtype=bool)
+        mask[:, 4:, :] = True
+        mask[:, :, 7:] = True
+        mask = jnp.asarray(mask)
+
+    flat = rcda.rcda_attention(
+        jnp.asarray(qr.reshape(B, H * W, E)),
+        jnp.asarray(qc.reshape(B, H * W, E)),
+        jnp.asarray(kr), jnp.asarray(kc), jnp.asarray(v),
+        params, n, key_padding_mask=mask,
+    )
+    grid = rcda.rcda_attention(
+        jnp.asarray(qr), jnp.asarray(qc),
+        jnp.asarray(kr), jnp.asarray(kc), jnp.asarray(v),
+        params, n, key_padding_mask=mask,
+    )
+    assert grid.shape == (B, H, W, E)
+    np.testing.assert_allclose(
+        np.asarray(grid).reshape(B, H * W, E), np.asarray(flat),
+        rtol=2e-5, atol=2e-5,
+    )
