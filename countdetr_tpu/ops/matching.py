@@ -45,6 +45,47 @@ NEG_INF = -1e30
 #   interpret       - Pallas in interpreter mode (CPU tests)
 PALLAS_AUCTION = os.environ.get("COUNTDETR_PALLAS_AUCTION", "auto")
 
+# Square-reduction eps-scaling for the T > Q dense tiers (round 5,
+# VERDICT r3 next #3). Plain eps-scaling (carry prices across shrinking-eps
+# phases) is UNSOUND on the asymmetric problem: the optimality proof needs
+# "positively-priced => assigned" at termination, and a phase reset leaves
+# objects priced-but-unassigned (measured: 80%+ optimality gaps). Padding
+# the persons side with zero-benefit dummy rows makes the problem square,
+# where every object ends assigned and scaling is the textbook-sound
+# Bertsekas schedule. The round-1 attempt at squaring (PERFORMANCE.md
+# "What mattered" #2) died at 7.6 s/call because its ~472 IDENTICAL dummy
+# rows all bid the same cheapest object each Jacobi round — one winner per
+# round, fully serialized; here each dummy row carries deterministic
+# sub-eps noise (_dummy_rows) so their argmaxes decorrelate and they spread
+# in O(1) rounds. The noise perturbs the squared objective by
+# <= (T-Q) * eps/2, within the eps-CS slack the matcher already accepts
+# (tests re-check gaps vs scipy). Applied only where it pays AND stays
+# kernel-eligible: T > Q and T*T within the Pallas VMEM budget (the 4096
+# tier keeps the single-phase asymmetric form). COUNTDETR_AUCTION_SCALING=0
+# restores the single fixed-eps phase everywhere.
+AUCTION_SCALING = os.environ.get("COUNTDETR_AUCTION_SCALING", "1") == "1"
+
+
+def _square_scaling_ok(Q: int, T: int) -> bool:
+    if not AUCTION_SCALING or T <= Q:
+        return False
+    from countdetr_tpu.ops.pallas import auction_kernel
+
+    return T * T <= auction_kernel.MAX_ELEMS
+
+
+def _dummy_rows_unit(n_dummy: int, n_obj: int):
+    """Deterministic unit-scale noise block (n_dummy, n_obj) in [0, 1) for
+    the square reduction's dummy bidder rows — callers scale by eps/2. A
+    cheap multiplicative hash keyed on (row, col) so every dummy row's
+    argmax lands on a different object (identical rows would serialize the
+    Jacobi auction: one winner per round)."""
+    di = jnp.arange(n_dummy, dtype=jnp.uint32)[:, None]
+    dj = jnp.arange(n_obj, dtype=jnp.uint32)[None, :]
+    h = di * jnp.uint32(2654435761) + dj * jnp.uint32(2246822519)
+    h = (h >> jnp.uint32(12)) & jnp.uint32(0xFFFFF)
+    return h.astype(jnp.float32) * (1.0 / float(1 << 20))
+
 
 def _pallas_auction_mode(
     persons: int, objects: int, sharded: bool = False
@@ -70,7 +111,15 @@ def _pallas_auction_mode(
     return None
 
 
-def _auction(benefit, active, eps, max_iters):
+# eps-scaling schedule for the SQUARE path (_auction(scaling=True)):
+# eps_0 = SCALE_START * eps_final, divided by SCALE_THETA at each phase
+# boundary (everyone assigned), carrying prices — 512/8 gives 4 phases.
+# Sound only on square all-active problems (see AUCTION_SCALING note).
+SCALE_START = 512.0
+SCALE_THETA = 8.0
+
+
+def _auction(benefit, active, eps, max_iters, scaling=False):
     """Jacobi (all-bidders-at-once) forward auction.
 
     benefit: (T, Q) value of object q for person t; active: (T,) persons that
@@ -83,9 +132,13 @@ def _auction(benefit, active, eps, max_iters):
     210 -> 126 ms on an 835-round init-model cost); scatter-max bid
     resolution and top_k variants are far worse still (300-1400 ms). Round
     count, not round cost, is the remaining ceiling: contention on
-    near-identical rows needs O(1000) rounds at eps = span/1000, which is
-    why stage-2 training routes sparse images to small-T box tiers
-    (data/batching.py box_tiers) where T <= Q converges in tens of rounds.
+    near-identical rows needs O(1000) rounds at eps = span/1000 — the
+    square T > Q tiers attack that with eps-scaling (`scaling=True`:
+    start at SCALE_START * eps, divide by SCALE_THETA each time everyone
+    is assigned, carry prices, unassign, repeat until eps reaches final;
+    ONLY sound when the problem is square with every person active — see
+    the AUCTION_SCALING module note), while sparse images route to small-T
+    box tiers (data/batching.py box_tiers) that converge in tens of rounds.
     """
     T, Q = benefit.shape
     owner0 = jnp.full((Q,), -1, dtype=jnp.int32)
@@ -93,15 +146,19 @@ def _auction(benefit, active, eps, max_iters):
     prices0 = jnp.zeros((Q,), dtype=benefit.dtype)
     iota_q = jnp.arange(Q, dtype=jnp.int32)
     iota_t = jnp.arange(T, dtype=jnp.int32)
+    eps_fin = jnp.asarray(eps, benefit.dtype)
+    eps0 = eps_fin * (SCALE_START if scaling else 1.0)
 
     def cond(state):
-        i, owner, assigned, prices = state
+        i, owner, assigned, prices, cur_eps = state
+        done = ~jnp.any((assigned < 0) & active)
         return jnp.logical_and(
-            i < max_iters, jnp.any((assigned < 0) & active)
+            i < max_iters, ~(done & (cur_eps <= eps_fin * 1.5))
         )
 
     def body(state):
-        i, owner, assigned, prices = state
+        i, owner, assigned, prices, cur_eps = state
+        eps = cur_eps
         unassigned = (assigned < 0) & active
 
         values = benefit - prices[None, :]  # (T, Q)
@@ -110,14 +167,17 @@ def _auction(benefit, active, eps, max_iters):
         masked = jnp.where(iota_q[None, :] == q1[:, None], NEG_INF, values)
         v2 = jnp.max(masked, axis=1)
         v2 = jnp.where(v2 > NEG_INF / 2, v2, v1 - 1.0)  # Q == 1 fallback
-        bid_price = (
-            jnp.take_along_axis(benefit, q1[:, None], axis=1)[:, 0] - v2 + eps
-        )
+        # bid for object q1: benefit[t, q1] - v2 + eps. Since benefit[t, q1]
+        # == v1 + prices[q1], post prices + (v1 - v2 + eps) on column q1 —
+        # no gather, and the SAME f32 expression as the Pallas kernel (the
+        # algebraically-equal gather form drifts by 1 ulp after many scaled
+        # phase updates, breaking the bit-identity the kernel tests pin).
+        incr = v1 - v2 + eps  # (T,)
 
         # per object, the highest simultaneous bidder wins
         bid_matrix = jnp.where(
             unassigned[:, None] & (q1[:, None] == iota_q[None, :]),
-            bid_price[:, None],
+            prices[None, :] + incr[:, None],
             NEG_INF,
         )
         winner_bid = jnp.max(bid_matrix, axis=0)
@@ -134,10 +194,22 @@ def _auction(benefit, active, eps, max_iters):
             jnp.where(own_mat, iota_q[None, :], -1), axis=1
         )
         assigned_new = jnp.where(active, assigned_new, 0)
-        return (i + 1, new_owner, assigned_new, new_prices)
 
-    _, _, assigned, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), owner0, assigned0, prices0)
+        # eps-scaling phase boundary (no-op when scaling=False: cur_eps
+        # stays at eps_fin so shrink is constant-false): everyone assigned
+        # but eps still above final -> shrink eps, keep PRICES, restart the
+        # assignment. Carried prices are what make the next phase short.
+        done = ~jnp.any((assigned_new < 0) & active)
+        shrink = done & (cur_eps > eps_fin * 1.5)
+        next_eps = jnp.where(
+            shrink, jnp.maximum(cur_eps / SCALE_THETA, eps_fin), cur_eps
+        )
+        new_owner = jnp.where(shrink, owner0, new_owner)
+        assigned_new = jnp.where(shrink, assigned0, assigned_new)
+        return (i + 1, new_owner, assigned_new, new_prices, next_eps)
+
+    _, _, assigned, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), owner0, assigned0, prices0, eps0)
     )
     return assigned
 
@@ -171,16 +243,30 @@ def auction_lap(
     # min(Q, #valid) valid targets end up matched — the rectangular-LAP
     # optimum the reference's scipy call computes. Invalid target slots act
     # as uniformly-terrible dummy objects (value -big, below any reachable
-    # price) that absorb overflow queries when #valid < Q.
+    # price) that absorb overflow queries when #valid < Q. Dense tiers
+    # square the problem with noise-decorrelated dummy bidders so the
+    # eps-scaled schedule applies (see AUCTION_SCALING note).
+    squared = _square_scaling_ok(Q, T)
     span = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-3)
     eps = span * eps_frac
-    big = (span + eps) * (Q + 2)  # above the max possible price escalation
+    big = (span + eps * (SCALE_START if squared else 1.0)) * (
+        (T if squared else Q) + 2
+    )  # above the max possible price escalation
     benefit = jnp.where(tgt_valid[None, :], -cost, -big)
     if iters_cap is None:
         iters_cap = 16 * T + 2048
-    assigned = _auction(
-        benefit, jnp.ones((Q,), bool), eps, iters_cap
-    )  # (Q,) target index per query
+    if squared:
+        dummies = _dummy_rows_unit(T - Q, T) * (eps * 0.5)
+        benefit = jnp.concatenate(
+            [benefit, dummies.astype(benefit.dtype)], axis=0
+        )  # (T, T)
+        assigned = _auction(
+            benefit, jnp.ones((T,), bool), eps, iters_cap, scaling=True
+        )[:Q]
+    else:
+        assigned = _auction(
+            benefit, jnp.ones((Q,), bool), eps, iters_cap
+        )  # (Q,) target index per query
     q_of_t = jnp.full((T + 1,), -1, jnp.int32)
     t_scatter = jnp.where(assigned >= 0, assigned, T)
     q_of_t = q_of_t.at[t_scatter].set(
@@ -226,7 +312,13 @@ def batched_match(
         n = mesh.shape[data_axis]
         if n > 1 and B % n == 0:
             n_shards = n
-    persons, objects = (T, Q) if T <= Q else (Q, T)
+    squared = _square_scaling_ok(Q, T)
+    if T <= Q:
+        persons, objects = T, Q
+    elif squared:
+        persons = objects = T  # dummy bidder rows pad persons to T
+    else:
+        persons, objects = Q, T
     mode = _pallas_auction_mode(persons, objects, sharded=n_shards > 1)
     if mode is None:
         return jax.vmap(lambda c, v: auction_lap(c, v, eps_frac=eps_frac))(
@@ -237,10 +329,12 @@ def batched_match(
 
     interpret = mode == "interpret"
     iters_cap = 16 * T + 2048
+    scaling = squared and T > Q
 
     def assign(benefit, active, eps):
         return auction_kernel.auction_assign(
-            benefit, active, eps, iters_cap, interpret=interpret
+            benefit, active, eps, iters_cap, interpret=interpret,
+            scaling=scaling,
         )
 
     if n_shards > 1:
@@ -264,9 +358,20 @@ def batched_match(
         return jnp.where(tgt_valid, jnp.clip(assigned, 0), 0), tgt_valid
 
     # T > Q: transposed auction, same prep as auction_lap's T > Q branch
-    big = (span + eps) * (Q + 2)
+    # (incl. the square reduction for the eps-scaled dense tiers)
+    big = (span + eps * (SCALE_START if squared else 1.0)) * (
+        (T if squared else Q) + 2
+    )
     benefit = jnp.where(tgt_valid[:, None, :], -cost, -big[:, None, None])
-    assigned = assign(benefit, jnp.ones((B, Q), bool), eps)
+    if squared:
+        dummies = (
+            _dummy_rows_unit(T - Q, T)[None]
+            * (eps[:, None, None] * 0.5)
+        ).astype(benefit.dtype)  # (B, T-Q, T)
+        benefit = jnp.concatenate([benefit, dummies], axis=1)  # (B, T, T)
+        assigned = assign(benefit, jnp.ones((B, T), bool), eps)[:, :Q]
+    else:
+        assigned = assign(benefit, jnp.ones((B, Q), bool), eps)
 
     def post(a):
         q_of_t = jnp.full((T + 1,), -1, jnp.int32)

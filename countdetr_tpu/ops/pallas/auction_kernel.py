@@ -47,10 +47,10 @@ MAX_ELEMS = 576 * 1024
 
 
 def _auction_round_kernel(eps_ref, benefit_ref, active_ref, out_ref,
-                          *, max_iters: int):
+                          *, max_iters: int, scaling: bool = False):
     benefit = benefit_ref[0]            # (P, O) f32
     active = active_ref[0] > 0          # (P, 1) bool
-    eps = eps_ref[pl.program_id(0)]     # scalar-prefetch: (B,) in SMEM
+    eps_fin = eps_ref[pl.program_id(0)]  # scalar-prefetch: (B,) in SMEM
     P, O = benefit.shape
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (P, O), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (P, O), 0)
@@ -58,15 +58,23 @@ def _auction_round_kernel(eps_ref, benefit_ref, active_ref, out_ref,
     owner0 = jnp.full((1, O), -1, jnp.int32)
     prices0 = jnp.zeros((1, O), jnp.float32)
     assigned0 = jnp.where(active, -1, 0).astype(jnp.int32)  # (P, 1)
+    # eps-scaling phases mirror ops/matching.py::_auction EXACTLY (same
+    # formulas, same f32 order) so assignments stay bit-identical between
+    # the two bodies with or without scaling (tests/test_pallas_auction.py)
+    from countdetr_tpu.ops.matching import SCALE_START, SCALE_THETA
+
+    eps0 = eps_fin * (SCALE_START if scaling else 1.0)
 
     def cond(state):
-        i, owner, assigned, prices = state
+        i, owner, assigned, prices, cur_eps = state
+        done = ~jnp.any((assigned < 0) & active)
         return jnp.logical_and(
-            i < max_iters, jnp.any((assigned < 0) & active)
+            i < max_iters, ~(done & (cur_eps <= eps_fin * 1.5))
         )
 
     def body(state):
-        i, owner, assigned, prices = state
+        i, owner, assigned, prices, cur_eps = state
+        eps = cur_eps
         unassigned = (assigned < 0) & active                    # (P, 1)
 
         values = benefit - prices                               # (P, O)
@@ -100,16 +108,24 @@ def _auction_round_kernel(eps_ref, benefit_ref, active_ref, out_ref,
             jnp.where(own_mat, col_ids, -1), axis=1, keepdims=True
         )
         assigned_new = jnp.where(active, assigned_new, 0)
-        return (i + 1, new_owner, assigned_new, new_prices)
 
-    _, _, assigned, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), owner0, assigned0, prices0)
+        done = ~jnp.any((assigned_new < 0) & active)
+        shrink = done & (cur_eps > eps_fin * 1.5)
+        next_eps = jnp.where(
+            shrink, jnp.maximum(cur_eps / SCALE_THETA, eps_fin), cur_eps
+        )
+        new_owner = jnp.where(shrink, owner0, new_owner)
+        assigned_new = jnp.where(shrink, assigned0, assigned_new)
+        return (i + 1, new_owner, assigned_new, new_prices, next_eps)
+
+    _, _, assigned, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), owner0, assigned0, prices0, eps0)
     )
     out_ref[0] = assigned
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "interpret")
+    jax.jit, static_argnames=("max_iters", "interpret", "scaling")
 )
 def auction_assign(
     benefit: jnp.ndarray,   # (B, P, O) f32: value of object o for person p
@@ -117,12 +133,15 @@ def auction_assign(
     eps: jnp.ndarray,       # (B,) f32: per-image bidding increment
     max_iters: int,
     interpret: bool = False,
+    scaling: bool = False,
 ) -> jnp.ndarray:
     """Batched Jacobi forward auction, one grid program per image.
 
     Returns assigned (B, P) int32: object per person (-1 only if max_iters
-    was hit). Drop-in for vmap(ops.matching._auction) on f32 inputs.
-    """
+    was hit). Drop-in for vmap(ops.matching._auction) on f32 inputs;
+    `scaling` enables the eps-scaled phase schedule (callers must ensure
+    the problem is square with every person active — the matching.py
+    square reduction — or optimality is lost)."""
     B, P, O = benefit.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # eps (B,) lands in SMEM, whole
@@ -137,7 +156,9 @@ def auction_assign(
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_auction_round_kernel, max_iters=max_iters),
+        functools.partial(
+            _auction_round_kernel, max_iters=max_iters, scaling=scaling
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, P, 1), jnp.int32),
         interpret=interpret,

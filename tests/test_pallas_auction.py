@@ -130,3 +130,31 @@ def test_capacity_gate_falls_back_to_xla():
         matching.PALLAS_AUCTION = old
     from countdetr_tpu.ops.pallas.auction_kernel import MAX_ELEMS
     assert 576 * 700 <= MAX_ELEMS < 576 * 4096
+
+
+def test_kernel_identical_to_xla_auction_scaled_square(rng):
+    """scaling=True (the square-reduction dense-tier path): the kernel's
+    eps-scaled phase schedule must stay bit-identical to the XLA body's —
+    same phase boundaries, same carried prices, same tie-breaks. Integer
+    costs force exact ties; square all-active inputs are the only sound
+    domain for scaling (see ops/matching.py AUCTION_SCALING note)."""
+    for B, N in ((2, 17), (1, 33)):
+        cost = rng.integers(-4, 4, size=(B, N, N)).astype(np.float32)
+        benefit = jnp.array(-cost)
+        active = jnp.ones((B, N), bool)
+        span = np.maximum(cost.max((1, 2)) - cost.min((1, 2)), 1e-3)
+        eps = jnp.array(span * 1e-3, jnp.float32)
+        cap = 16 * N + 2048
+        got = auction_assign(
+            benefit, active, eps, cap, interpret=True, scaling=True
+        )
+        want = jax.vmap(
+            lambda b, a, e: matching._auction(b, a, e, cap, scaling=True)
+        )(benefit, active, eps)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # and the scaled square solution is the scipy optimum's cost
+        for b in range(B):
+            rows, cols = linear_sum_assignment(cost[b])
+            opt = cost[b][rows, cols].sum()
+            ours = cost[b][np.arange(N), np.asarray(got)[b]].sum()
+            assert ours <= opt + 0.05 * max(1.0, abs(opt)), (b, ours, opt)
