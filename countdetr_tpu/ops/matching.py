@@ -56,14 +56,27 @@ PALLAS_AUCTION = os.environ.get("COUNTDETR_PALLAS_AUCTION", "auto")
 # "What mattered" #2) died at 7.6 s/call because its ~472 IDENTICAL dummy
 # rows all bid the same cheapest object each Jacobi round — one winner per
 # round, fully serialized; here each dummy row carries deterministic
-# sub-eps noise (_dummy_rows) so their argmaxes decorrelate and they spread
-# in O(1) rounds. The noise perturbs the squared objective by
+# sub-eps noise (_dummy_rows_unit) so their first-round argmaxes
+# decorrelate. The noise perturbs the squared objective by
 # <= (T-Q) * eps/2, within the eps-CS slack the matcher already accepts
-# (tests re-check gaps vs scipy). Applied only where it pays AND stays
-# kernel-eligible: T > Q and T*T within the Pallas VMEM budget (the 4096
-# tier keeps the single-phase asymmetric form). COUNTDETR_AUCTION_SCALING=0
-# restores the single fixed-eps phase everywhere.
-AUCTION_SCALING = os.environ.get("COUNTDETR_AUCTION_SCALING", "1") == "1"
+# (tests re-check gaps vs scipy). Applied only where shapes allow it:
+# T > Q and T*T within the Pallas VMEM budget (the 4096 tier keeps the
+# single-phase asymmetric form).
+#
+# DEFAULT OFF — measured a net regression on v5e at the dense-tier
+# geometry (B8 Q576 T700, cli/bench.py --mode match, Pallas route,
+# same-day A/B, PERFORMANCE.md round-5 post-mortem): the hard degenerate
+# structure improves 546 -> 486 ms but random regresses 3.9 -> 423 ms and
+# DETR-shaped 15.4 -> 239 ms. Two structural taxes: (1) every phase restarts
+# the full assignment, so easy costs pay ~#phases x their single-phase
+# round count; (2) the sub-eps noise only decorrelates dummies while
+# prices are still flat — once prices separate by O(eps) the ~(T-Q)
+# dummies chase the single cheapest object one-win-per-round, a
+# serialization floor that applies per phase. Fixing (2) soundly needs
+# price-lowering reverse-auction iterations (Bertsekas-Castanon
+# asymmetric), not a bigger noise budget (optimality caps noise at
+# eps-scale). Kept env-gated for experiments: COUNTDETR_AUCTION_SCALING=1.
+AUCTION_SCALING = os.environ.get("COUNTDETR_AUCTION_SCALING", "0") == "1"
 
 
 def _square_scaling_ok(Q: int, T: int) -> bool:

@@ -205,20 +205,33 @@ def test_bf16_costs_converge_and_match_fully(rng):
     assert np.asarray(matched2).all()
 
 
+def _force_scaling(on=True):
+    """Flip the (default-off, see the AUCTION_SCALING post-mortem note)
+    square-reduction eps-scaling and invalidate the jit caches keyed on
+    trace-time reads of the flag."""
+    matching.AUCTION_SCALING = on
+    matching.batched_match.clear_cache()
+
+
 def test_squared_scaling_degenerate_t_gt_q(rng):
-    """The eps-scaled square reduction (dense T > Q tiers) on its target
-    workload: near-identical rows, the contention structure that needs
-    ~span/eps Jacobi rounds single-phase. Gap vs scipy must stay within
-    the suite's 5% tolerance, matched-set semantics unchanged."""
-    assert matching.AUCTION_SCALING  # default-on path under test
+    """The eps-scaled square reduction (env-gated, sound-but-slower — see
+    the AUCTION_SCALING post-mortem) on its target workload:
+    near-identical rows, the contention structure that needs ~span/eps
+    Jacobi rounds single-phase. Gap vs scipy must stay within the suite's
+    5% tolerance, matched-set semantics unchanged."""
     B, Q, T = 2, 24, 40
     base = rng.normal(size=(B, 1, T)).astype(np.float32)
     cost = base + rng.normal(size=(B, Q, T)).astype(np.float32) * 1e-4
     valid = np.ones((B, T), dtype=bool)
     valid[1, 34:] = False
-    assert matching._square_scaling_ok(Q, T)
-
-    got, matched = matching.batched_match(jnp.array(cost), jnp.array(valid))
+    _force_scaling(True)
+    try:
+        assert matching._square_scaling_ok(Q, T)
+        got, matched = matching.batched_match(
+            jnp.array(cost), jnp.array(valid)
+        )
+    finally:
+        _force_scaling(False)
     got, matched = np.asarray(got), np.asarray(matched)
     for b in range(B):
         n_valid = valid[b].sum()
@@ -240,7 +253,13 @@ def test_squared_scaling_few_valid_targets(rng):
     cost = rng.normal(size=(B, Q, T)).astype(np.float32) * 5
     valid = np.zeros((B, T), dtype=bool)
     valid[0, :8] = True  # 8 valid << 20 queries
-    got, matched = matching.batched_match(jnp.array(cost), jnp.array(valid))
+    _force_scaling(True)
+    try:
+        got, matched = matching.batched_match(
+            jnp.array(cost), jnp.array(valid)
+        )
+    finally:
+        _force_scaling(False)
     got, matched = np.asarray(got), np.asarray(matched)
     assert matched[0].sum() == 8
     t_idx = np.nonzero(valid[0])[0]
