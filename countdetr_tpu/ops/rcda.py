@@ -106,10 +106,41 @@ def _rcda_core_einsum_grid(
     attn_row = jax.nn.softmax(attn_row, axis=-1).astype(v.dtype)
     attn_col = jax.nn.softmax(attn_col, axis=-1).astype(v.dtype)
 
+    if GRID_COMBINE == "rank1":
+        # Single full-grid GEMM: out[q] = (A_col[q] (x) A_row[q]) . V with
+        # contraction H*W = 1369. MEASURED WORSE on v5e at 592px/B=32
+        # (254 vs 395 img/s end-to-end): XLA materializes the ~1 GB
+        # (B, n, x, y, H, W) weight tensor instead of fusing the
+        # outer-product producer into the dot. Kept as a knob for
+        # geometries with small grids.
+        w2 = attn_col[..., :, None] * attn_row[..., None, :]
+        out = jnp.einsum("bnxyhw,bhwnd->bxynd", w2, vh)
+        return out.reshape(B, H, W, E)
+
+    # Two-stage combine. The second einsum is a batched MATVEC (b,n,x,y
+    # all batch dims, contraction h) — XLA:TPU lowers it to a kLoop VPU
+    # fusion, and WITHOUT the barrier it also fuses the col-softmax
+    # normalize into that loop, recomputing exp/div over the 50M-element
+    # logits once PER d-channel (~1.6B transcendentals/layer: the round-5
+    # profile's 6 x 3.2 ms/forward hotspot, fusion.4850). The barrier
+    # forces the bf16 probs to materialize once (22 MB) so the loop only
+    # multiplies.
+    if GRID_COMBINE == "two_stage":
+        attn_col = jax.lax.optimization_barrier(attn_col)
     hid = jnp.einsum("bnxyw,bhwnd->bnxyhd", attn_row, vh)
     out = jnp.einsum("bnxyh,bnxyhd->bxynd", attn_col, hid)
     return out.reshape(B, H, W, E)
 
+
+# Encoder grid-query combine formulation (startup knob, read once):
+#   two_stage (default) - short-axis two-einsum form with a barrier that
+#                         stops XLA re-fusing the softmax normalize into
+#                         the combine loop (see _rcda_core_einsum_grid)
+#   two_stage_fused     - no barrier (the round-5 profile's 3.2 ms/layer
+#                         exp-recompute kLoop; for A/B only)
+#   rank1               - one full-grid GEMM (measured worse: XLA
+#                         materializes the ~1 GB outer-product weights)
+GRID_COMBINE = os.environ.get("COUNTDETR_RCDA_GRID", "two_stage")
 
 # v3 (default): the two-stage short-axis form — the faster of the two
 # kernels at the measured geometry (333 vs 326 img/s, PERFORMANCE.md);
