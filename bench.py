@@ -37,10 +37,12 @@ Env knobs: BENCH_BATCH (default 32), BENCH_ITERS (the hi point, default
 40; lo = hi//4), BENCH_PAIRS (default 3), BENCH_DTYPE (float32 | bfloat16,
 default bfloat16), BENCH_PACKED (1 | 0, default 1), BENCH_PROFILE (1 | 0,
 default 1 — 0 forces the wall-clock estimator), BENCH_PALLAS (1 | 0,
-default 0 — measured on v5e at this geometry the XLA einsum path is faster
-than the fused RCDA kernel; the decoder self-attention DOES use the fused
-MHA kernel by default, see ops/pallas/mha_kernel.py: +8% end-to-end,
-COUNTDETR_FUSED_MHA=0 to disable).
+default 1 — ENCODER-scoped fused RCDA kernel, the round-5 winner: 419 vs
+395 img/s all-einsum vs 358 kernel-everywhere; scope/variant via
+COUNTDETR_PALLAS_RCDA_SCOPE / COUNTDETR_PALLAS_VARIANT. The decoder
+self-attention separately uses the fused MHA kernel by default, see
+ops/pallas/mha_kernel.py: +8% end-to-end, COUNTDETR_FUSED_MHA=0 to
+disable).
 """
 
 import json
@@ -67,7 +69,7 @@ def main():
     from countdetr_tpu.models import CountingDetr
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     packed = os.environ.get("BENCH_PACKED", "1") == "1"
     cfg = cfglib.stage2_config().model.replace(
         compute_dtype=dtype, use_pallas_rcda=use_pallas

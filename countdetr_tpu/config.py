@@ -53,7 +53,14 @@ class ModelConfig:
     # TPU knobs
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for speed once parity is pinned
-    use_pallas_rcda: bool = False
+    # Fused Pallas RCDA. Applied ENCODER-only by default
+    # (COUNTDETR_PALLAS_RCDA_SCOPE in transformer.py): encoder v3 kernel +
+    # einsum decoder measured 419 vs 395 img/s all-einsum vs 358 kernel-
+    # everywhere at the 592px/B=32 eval geometry (PERFORMANCE.md round-5
+    # combine table). Auto-falls back to the einsum cores off single-device
+    # TPU processes (ops/rcda.py::_pallas_rcda_available); backward is the
+    # rematerialized einsum either way.
+    use_pallas_rcda: bool = True
     remat: bool = False  # jax.checkpoint each transformer layer (memory/FLOPs trade)
 
     @property

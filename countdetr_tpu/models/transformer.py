@@ -15,6 +15,7 @@ Structure mirrors the reference (models/transformer.py:20-214 stage 1,
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -440,11 +441,19 @@ class Transformer(nn.Module):
             enc_ctor = nn.remat(EncoderLayer, static_argnums=())
             dec_ctor = nn.remat(DecoderLayer, static_argnums=())
 
+        # COUNTDETR_PALLAS_RCDA_SCOPE: where use_pallas_rcda applies
+        # (all | encoder | decoder) — the kernel's win/loss differs between
+        # the L=H*W grid-query encoder and the L=num_queries decoder
+        # (PERFORMANCE.md round-5 combine table), so A/Bs need the split.
+        scope = os.environ.get("COUNTDETR_PALLAS_RCDA_SCOPE", "encoder")
+        enc_pallas = cfg.use_pallas_rcda and scope in ("all", "encoder")
+        dec_pallas = cfg.use_pallas_rcda and scope in ("all", "decoder")
+
         x = src
         for i in range(n_spatial):
             x = enc_ctor(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
-                cfg.attention_type, cfg.use_pallas_rcda, cfg.dropout, det,
+                cfg.attention_type, enc_pallas, cfg.dropout, det,
                 name=f"encoder_{i}",
             )(x, pad_mask, posemb_row, posemb_col, posemb_2d)
             if i < n_level_layers:
@@ -487,7 +496,7 @@ class Transformer(nn.Module):
         for i in range(cfg.dec_layers):
             out = dec_ctor(
                 cfg.hidden_dim, cfg.dim_feedforward, cfg.nheads,
-                cfg.attention_type, cfg.use_pallas_rcda, nlv, cfg.dropout,
+                cfg.attention_type, dec_pallas, nlv, cfg.dropout,
                 det, name=f"decoder_{i}",
             )(
                 out, query_pos, query_pos_x, query_pos_y, x, pad_mask,

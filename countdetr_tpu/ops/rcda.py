@@ -140,6 +140,8 @@ def _rcda_core_einsum_grid(
 #                         exp-recompute kLoop; for A/B only)
 #   rank1               - one full-grid GEMM (measured worse: XLA
 #                         materializes the ~1 GB outer-product weights)
+#   flat                - flatten grid queries up front and use the flat
+#                         core (the pre-round-5 formulation; for A/B)
 GRID_COMBINE = os.environ.get("COUNTDETR_RCDA_GRID", "two_stage")
 
 # v3 (default): the two-stage short-axis form — the faster of the two
@@ -148,6 +150,21 @@ GRID_COMBINE = os.environ.get("COUNTDETR_RCDA_GRID", "two_stage")
 # Read ONCE at import: the primal below runs at trace time, so the choice is
 # frozen into cached compilations anyway — a startup-only knob by design.
 PALLAS_VARIANT = os.environ.get("COUNTDETR_PALLAS_VARIANT", "v3")
+
+
+def _pallas_rcda_available() -> bool:
+    """The fused RCDA kernel applies only on a single-device TPU process:
+    no interpret path is wired for CPU here (tests exercise the kernel via
+    tests/test_pallas_rcda.py explicitly), and pallas_call has no SPMD
+    partitioning rule, so multi-device programs keep the einsum cores
+    (mirrors ops/matching.py::_pallas_auction_mode)."""
+    import jax
+
+    return (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and jax.process_count() == 1
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -194,6 +211,20 @@ def rcda_attention(
     keeps the flat interface, so use_pallas flattens grid queries at the
     kernel boundary (and the kernel's VMEM tiling makes the layout moot)."""
     grid_q = query_row.ndim == 4
+    if grid_q and GRID_COMBINE == "flat":
+        # measurement knob: flatten grid queries up front and run the flat
+        # einsum core — the pre-round-5 formulation, kept A/B-able because
+        # the grid core's backward schedule differs (train-vs-eval trades)
+        H_, W_ = query_row.shape[1], query_row.shape[2]
+        E_ = query_row.shape[-1]
+        query_row = query_row.reshape(-1, H_ * W_, E_)
+        query_col = query_col.reshape(-1, H_ * W_, E_)
+        grid_q = False
+        flat_grid = (H_, W_)
+    else:
+        flat_grid = None
+    if use_pallas and not _pallas_rcda_available():
+        use_pallas = False
     B, E = query_row.shape[0], query_row.shape[-1]
     H, W = key_row.shape[1], key_row.shape[2]
     d = E // num_heads
@@ -247,6 +278,8 @@ def rcda_attention(
     out = core(q_row, q_col, k_row, k_col, v, bias_row, bias_col, num_heads)
     if grid_q and use_pallas:
         out = out.reshape(B, H, W, E)
+    if flat_grid is not None:
+        out = out.reshape(B, flat_grid[0], flat_grid[1], E)
     return out @ params.out_proj_weight.T + params.out_proj_bias
 
 
